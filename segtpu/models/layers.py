@@ -1,0 +1,290 @@
+"""Shared Flax layers: torch-semantics BatchNorm, ABN, InPlaceABN, helpers.
+
+NHWC layout throughout. BatchNorm reproduces torch semantics for running-stat
+parity with the reference (reference lib/modules/abn/functions.py:85-88):
+``running = (1 - momentum) * running + momentum * batch_stat`` with the
+*unbiased* variance correction in the running var, while normalization uses
+the biased batch variance.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segtpu.ops import abn as abn_ops
+
+
+class BatchNormTorch(nn.Module):
+    """BatchNorm2d with torch running-stat semantics (NHWC, channel-last).
+
+    Under jit over a batch-sharded mesh the (N,H,W) reductions are global, so
+    this is synchronized BN for free; ``axis_name`` adds explicit pmean for
+    shard_map/pmap contexts (SURVEY.md §2.8).
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean, var = abn_ops.batch_mean_var(xf, self.axis_name)
+            if not self.is_initializing():
+                count = x.size // x.shape[-1]
+                unbiased = var * (count / max(count - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        rstd = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * (scale * rstd).astype(x.dtype) + bias.astype(x.dtype)
+        return y
+
+
+class ABN(nn.Module):
+    """Plain (non-fused) BN + activation (reference lib/modules/abn/bn.py:23-44)."""
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    activation: str = abn_ops.ACT_LEAKY_RELU
+    slope: float = 0.01
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        y = BatchNormTorch(
+            self.features,
+            eps=self.eps,
+            momentum=self.momentum,
+            use_running_average=self.use_running_average,
+            axis_name=self.axis_name,
+            name="bn",
+        )(x, use_running_average)
+        return abn_ops._act_forward(y, self.activation, self.slope)
+
+
+class InPlaceABN(nn.Module):
+    """Fused activated BN (reference lib/modules/abn/bn.py:47-103).
+
+    Uses :func:`segtpu.ops.abn.fused_abn` — memory-saving custom VJP (the
+    input is never saved for backward) with a Pallas normalize+activate
+    kernel on TPU. Also covers InPlaceABNSync (bn.py:106-190): with a
+    batch-sharded mesh the statistics are globally reduced by XLA.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    activation: str = abn_ops.ACT_LEAKY_RELU
+    slope: float = 0.01
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        gamma = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if use_ra:
+            return abn_ops.fused_abn(
+                x, gamma, beta,
+                mean=ra_mean.value, var=ra_var.value, training=False,
+                eps=self.eps, activation=self.activation, slope=self.slope,
+            )
+
+        z, mean, var = abn_ops.fused_abn(
+            x, gamma, beta, training=True,
+            eps=self.eps, activation=self.activation, slope=self.slope,
+            axis_name=self.axis_name,
+        )
+        if not self.is_initializing():
+            count = x.size // x.shape[-1]
+            unbiased = var * (count / max(count - 1, 1))
+            ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+            ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        return z
+
+
+def max_pool(x, window: int = 2, stride: int = 2, padding="VALID"):
+    """2x2 max pooling, NHWC (torch nn.MaxPool2d(2) equivalent)."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding=padding)
+
+
+def upsample_nearest(x, scale: int = 2):
+    """Nearest-neighbor 2x upsample (torch nn.Upsample(scale_factor=2))."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, scale, w, scale, c))
+    return x.reshape(n, h * scale, w * scale, c)
+
+
+def upsample_bilinear(x, out_hw, align_corners: bool = True):
+    """Bilinear resize matching torch F.upsample(mode='bilinear') defaults.
+
+    torch<=0.4 default was align_corners semantics for these models; jax.image
+    'linear' is half-pixel (align_corners=False). Implement align_corners=True
+    via explicit gather weights for parity with reference GCN/PSP/DUC heads.
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if align_corners and oh > 1 and ow > 1:
+        ys = jnp.linspace(0.0, h - 1.0, oh)
+        xs = jnp.linspace(0.0, w - 1.0, ow)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (ys - y0)[None, :, None, None]
+        wx = (xs - x0)[None, None, :, None]
+        g = lambda yi, xi: x[:, yi, :, :][:, :, xi, :]
+        top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
+        bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
+        return top * (1 - wy) + bot * wy
+    return jax.image.resize(x, (n, oh, ow, c), method="linear")
+
+
+def pixel_shuffle(x, upscale: int):
+    """PixelShuffle: (N,H,W,C*r^2) -> (N,H*r,W*r,C), matching torch channel order.
+
+    torch PixelShuffle on NCHW views channels as (C, r, r); in NHWC the
+    channel axis holds the same (C, r, r) layout flattened.
+    """
+    n, h, w, crr = x.shape
+    r = upscale
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r, w, r, c
+    return x.reshape(n, h * r, w * r, c)
+
+
+class Dropout2d(nn.Module):
+    """torch nn.Dropout2d equivalent: channel-wise spatial dropout, NHWC."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        return nn.Dropout(
+            rate=self.rate, broadcast_dims=(1, 2), deterministic=deterministic
+        )(x)
+
+
+# torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+torch_conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Conv(nn.Module):
+    """nn.Conv with torch-default initialization (NHWC)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: object = 0  # int pixels (torch-style) or a flax padding spec
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size if isinstance(self.kernel_size, tuple) else (
+            self.kernel_size, self.kernel_size)
+        if isinstance(self.padding, int):
+            pad = [(self.padding, self.padding), (self.padding, self.padding)]
+        else:
+            pad = self.padding
+        fan_in = (x.shape[-1] // self.groups) * k[0] * k[1]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=(self.stride, self.stride),
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+        )(x)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """torch nn.ConvTranspose2d(k, stride, padding, output_padding) in NHWC.
+
+    torch output size = (H-1)*stride - 2*padding + kernel + output_padding.
+    flax nn.ConvTranspose with padding='VALID' computes the full transposed
+    conv of size (H-1)*stride + kernel; torch's result is that full output
+    cropped by ``padding`` at the start and ``padding - output_padding`` at
+    the end of each spatial dim (zero-extended if negative — positions beyond
+    the full extent receive no contributions, so zeros are exact).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        fan_in = x.shape[-1] * k * k
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(s, s),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            transpose_kernel=True,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+        )(x)
+        end = p - self.output_padding
+        if p > 0 or end > 0:
+            y = y[:, p: y.shape[1] - max(end, 0), p: y.shape[2] - max(end, 0), :]
+        if end < 0:
+            y = jnp.pad(y, ((0, 0), (0, -end), (0, -end), (0, 0)))
+        return y

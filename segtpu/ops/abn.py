@@ -1,0 +1,328 @@
+"""Fused Activated BatchNorm (the TPU-native inplace-abn equivalent).
+
+The reference's single native component is the external ``inplace_abn``
+CUDA/C++ extension (reference lib/modules/abn/functions.py:1, ops used at
+functions.py:81,94,112,118): a fused BN+activation whose backward
+reconstructs gradients from the *output* tensor so the pre-activation input
+never needs to be saved — halving activation memory for BN-heavy nets.
+
+TPU-native rebuild:
+
+  * ``fused_abn`` — a ``jax.custom_vjp`` op with the same memory-saving
+    semantics: residuals are (output, var, gamma, beta), NOT the input. The
+    backward inverts the activation analytically (leaky-relu and elu are
+    bijective), recovers x_hat = (pre_act - beta) / gamma, computes the
+    edz/eydz channel reductions, and reconstructs dx — mirroring
+    ``backend.edz_eydz`` + ``backend.backward``
+    (reference functions.py:104-122) as XLA/Pallas ops.
+  * Cross-device sync (the reference's InPlaceABNSync queue+comm machinery,
+    functions.py:125-238) is replaced entirely by mesh semantics: under
+    ``jit`` over a sharded batch the channel reductions are *global* arrays,
+    so XLA inserts the ICI collectives automatically. An explicit
+    ``axis_name`` is supported for ``shard_map``/``pmap`` contexts where
+    reductions are per-shard (``lax.pmean`` — SURVEY.md §2.8).
+  * A Pallas TPU kernel fuses normalize+affine+activation in one VMEM pass
+    (enable with ``segtpu.ops.abn.USE_PALLAS = True`` or on TPU by default);
+    XLA-composite fallback everywhere else.
+
+Layout: NHWC (channel-last), reductions over (N, H, W).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+ACT_LEAKY_RELU = "leaky_relu"
+ACT_ELU = "elu"
+ACT_NONE = "none"
+
+# Toggled by models/harness; resolved lazily so importing on CPU is cheap.
+USE_PALLAS: Optional[bool] = None  # None = auto (TPU only)
+
+
+def _pallas_enabled() -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Activation forward / inverse / derivative-from-output
+# ---------------------------------------------------------------------------
+
+def _act_forward(y: jnp.ndarray, activation: str, slope: float) -> jnp.ndarray:
+    if activation == ACT_LEAKY_RELU:
+        return jnp.where(y >= 0, y, y * slope)
+    if activation == ACT_ELU:
+        return jnp.where(y >= 0, y, jnp.expm1(y))
+    return y
+
+
+def _act_invert(z: jnp.ndarray, activation: str, slope: float) -> jnp.ndarray:
+    """Recover pre-activation from the activated output (both bijective)."""
+    if activation == ACT_LEAKY_RELU:
+        return jnp.where(z >= 0, z, z / slope)
+    if activation == ACT_ELU:
+        return jnp.where(z >= 0, z, jnp.log1p(z))
+    return z
+
+
+def _act_grad_from_output(z: jnp.ndarray, activation: str, slope: float) -> jnp.ndarray:
+    """d(activation)/d(pre_act) expressed via the *output* z."""
+    if activation == ACT_LEAKY_RELU:
+        return jnp.where(z >= 0, 1.0, slope)
+    if activation == ACT_ELU:
+        # for y<0: d elu/dy = exp(y) = z + 1
+        return jnp.where(z >= 0, 1.0, z + 1.0)
+    return jnp.ones_like(z)
+
+
+# ---------------------------------------------------------------------------
+# Batch statistics
+# ---------------------------------------------------------------------------
+
+def batch_mean_var(x: jnp.ndarray, axis_name: Optional[str] = None):
+    """Per-channel biased mean/var over all non-channel axes (NHWC).
+
+    Equivalent of ``backend.mean_var`` (reference functions.py:81). With
+    ``axis_name`` the moments are synchronized across that mapped axis — the
+    replacement for InPlaceABNSync's gather/broadcast queues.
+    """
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes)
+    mean_sq = jnp.mean(jnp.square(x), axis=axes)
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
+    var = mean_sq - jnp.square(mean)
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused normalize+affine+activation kernel (forward hot path)
+# ---------------------------------------------------------------------------
+
+def _abn_norm_act_pallas(x2d, scale, shift, activation: str, slope: float):
+    """(M, C) -> (M, C): (x * scale + shift) then activation, one VMEM pass.
+
+    scale = gamma * rsqrt(var+eps); shift = beta - mean*scale (precomputed,
+    so the kernel is a single FMA + select per element).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, c = x2d.shape
+    tile_m = min(1024, max(8, m))
+    grid = (pl.cdiv(m, tile_m),)
+
+    def kernel(x_ref, scale_ref, shift_ref, o_ref):
+        y = x_ref[:] * scale_ref[:] + shift_ref[:]
+        if activation == ACT_LEAKY_RELU:
+            y = jnp.where(y >= 0, y, y * slope)
+        elif activation == ACT_ELU:
+            # expm1 is not lowered by Mosaic; exp-1 is fine at these magnitudes
+            y = jnp.where(y >= 0, y, jnp.exp(jnp.minimum(y, 0.0)) - 1.0)
+        o_ref[:] = y
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), x2d.dtype),
+    )(x2d, scale.reshape(1, c), shift.reshape(1, c))
+
+
+def _abn_bwd_pallas(z2d, g2d, gamma, beta, rstd, activation: str, slope: float):
+    """Fused backward pass 1: per-channel edz / eydz reductions from output.
+
+    One read of (z, g): undo activation on the gradient, recover x_hat from
+    the output, and accumulate both channel sums in VMEM scratch across the
+    (sequential) grid. Equivalent of ``backend.edz_eydz``
+    (reference functions.py:112).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, c = z2d.shape
+    tile_m = min(1024, max(8, m))
+    grid = (pl.cdiv(m, tile_m),)
+    inv_gamma = (1.0 / gamma).reshape(1, c)
+    beta_r = beta.reshape(1, c)
+
+    def kernel(z_ref, g_ref, invg_ref, beta_ref, edz_ref, eydz_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # Mask rows past m in the (possibly padded) last tile so the
+        # reductions only see real data.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_m, c), 0)
+        valid = (i * tile_m + row_ids) < m
+        z = jnp.where(valid, z_ref[:], 0.0)
+        g = jnp.where(valid, g_ref[:], 0.0)
+        if activation == ACT_LEAKY_RELU:
+            dy = jnp.where(z >= 0, g, g * slope)
+            y = jnp.where(z >= 0, z, z / slope)
+        elif activation == ACT_ELU:
+            dy = jnp.where(z >= 0, g, g * (z + 1.0))
+            y = jnp.where(z >= 0, z, jnp.log(jnp.maximum(1.0 + z, 1e-20)))
+        else:
+            dy = g
+            y = z
+        xhat = (y - beta_ref[:]) * invg_ref[:]
+        acc_ref[0, :] += jnp.sum(dy, axis=0)
+        acc_ref[1, :] += jnp.sum(xhat * dy, axis=0)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            edz_ref[:] = acc_ref[0:1, :]
+            eydz_ref[:] = acc_ref[1:2, :]
+
+    edz, eydz = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+    )(z2d, g2d, inv_gamma, beta_r)
+    return edz.reshape(c), eydz.reshape(c)
+
+
+# ---------------------------------------------------------------------------
+# Core fused op with memory-saving custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _fused_abn_train(x, gamma, beta, mean, var, eps, activation, slope, axis_name):
+    """Normalize with given batch stats, affine, activate. Differentiable in
+    (x, gamma, beta); stats are treated as *functions of x* in the VJP, i.e.
+    full training-mode BN backward (matches inplace-abn)."""
+    return _abn_apply(x, gamma, beta, mean, var, eps, activation, slope)
+
+
+def _abn_apply(x, gamma, beta, mean, var, eps, activation, slope):
+    rstd = lax.rsqrt(var + eps)
+    scale = gamma * rstd
+    shift = beta - mean * scale
+    if _pallas_enabled() and x.ndim >= 2 and x.dtype == jnp.float32:
+        shp = x.shape
+        x2d = x.reshape(-1, shp[-1])
+        out = _abn_norm_act_pallas(
+            x2d, scale.astype(x.dtype), shift.astype(x.dtype), activation, slope
+        )
+        return out.reshape(shp)
+    y = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+    return _act_forward(y, activation, slope)
+
+
+def _fused_abn_train_fwd(x, gamma, beta, mean, var, eps, activation, slope, axis_name):
+    z = _abn_apply(x, gamma, beta, mean, var, eps, activation, slope)
+    # Memory-saving residuals: the input x is NOT saved.
+    count = x.size // x.shape[-1]
+    return z, (z, gamma, beta, var, count)
+
+
+def _fused_abn_train_bwd(eps, activation, slope, axis_name, res, g):
+    z, gamma, beta, var, count = res
+    c = z.shape[-1]
+    rstd = lax.rsqrt(var + eps)
+
+    if _pallas_enabled() and z.ndim >= 2 and z.dtype == jnp.float32:
+        z2d = z.reshape(-1, c)
+        g2d = g.reshape(-1, c)
+        edz, eydz = _abn_bwd_pallas(z2d, g2d, gamma, beta, rstd, activation, slope)
+        dy = None  # recomputed below cheaply (fused by XLA with dx math)
+    else:
+        edz = eydz = None
+
+    # Elementwise reconstruction (XLA fuses this with the dx expression).
+    dz_act = _act_grad_from_output(z, activation, slope)
+    dy = g * dz_act
+    y = _act_invert(z, activation, slope)
+    xhat = (y - beta.astype(z.dtype)) / gamma.astype(z.dtype)
+
+    axes = tuple(range(z.ndim - 1))
+    if edz is None:
+        edz = jnp.sum(dy, axis=axes)
+        eydz = jnp.sum(xhat * dy, axis=axes)
+
+    if axis_name is not None:
+        n_dev = lax.psum(jnp.ones((), jnp.float32), axis_name)
+        edz_mean = lax.psum(edz, axis_name) / (count * n_dev)
+        eydz_mean = lax.psum(eydz, axis_name) / (count * n_dev)
+    else:
+        edz_mean = edz / count
+        eydz_mean = eydz / count
+
+    dx = (
+        (dy - edz_mean.astype(z.dtype) - xhat * eydz_mean.astype(z.dtype))
+        * (gamma * rstd).astype(z.dtype)
+    )
+    dgamma = eydz.astype(gamma.dtype)
+    dbeta = edz.astype(beta.dtype)
+    # mean/var received zero cotangents: their dependence on x is already
+    # folded into the dx expression above (training-mode BN backward).
+    return dx, dgamma, dbeta, jnp.zeros_like(edz), jnp.zeros_like(edz)
+
+
+_fused_abn_train.defvjp(_fused_abn_train_fwd, _fused_abn_train_bwd)
+
+
+def fused_abn(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    *,
+    mean: Optional[jnp.ndarray] = None,
+    var: Optional[jnp.ndarray] = None,
+    training: bool = True,
+    eps: float = 1e-5,
+    activation: str = ACT_LEAKY_RELU,
+    slope: float = 0.01,
+    axis_name: Optional[str] = None,
+):
+    """Fused BN + activation.
+
+    Training mode computes batch statistics (synchronized over ``axis_name``
+    if given) and returns ``(z, mean, var)`` so the caller can update running
+    stats with the unbiased correction (reference functions.py:85-88).
+    Inference mode takes running ``mean``/``var`` and returns ``z`` only.
+    """
+    if training:
+        bmean, bvar = batch_mean_var(x, axis_name)
+        bmean = lax.stop_gradient(bmean)
+        bvar = lax.stop_gradient(bvar)
+        z = _fused_abn_train(x, gamma, beta, bmean, bvar, eps, activation, slope, axis_name)
+        return z, bmean, bvar
+    assert mean is not None and var is not None
+    z = _abn_apply(x, gamma, beta, mean, var, eps, activation, slope)
+    return z

@@ -1,0 +1,162 @@
+"""Tests for the fused ABN op: forward parity, from-output gradient
+reconstruction, module semantics, and cross-device sync."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from segtpu.ops import abn as abn_ops
+from segtpu.models.layers import ABN, InPlaceABN, BatchNormTorch
+
+
+def naive_abn(x, gamma, beta, eps=1e-5, activation="leaky_relu", slope=0.01):
+    """Straightforward BN+activation composition (saves x for autodiff)."""
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.mean(jnp.square(x), axis=axes) - mean**2
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    if activation == "leaky_relu":
+        return jnp.where(y >= 0, y, y * slope)
+    if activation == "elu":
+        return jnp.where(y >= 0, y, jnp.expm1(y))
+    return y
+
+
+@pytest.fixture(scope="module")
+def xgb():
+    rng = np.random.RandomState(0)
+    x = jnp.array(rng.randn(4, 8, 8, 16).astype(np.float32))
+    gamma = jnp.array(rng.rand(16).astype(np.float32) + 0.5)
+    beta = jnp.array(rng.randn(16).astype(np.float32) * 0.1)
+    return x, gamma, beta
+
+
+@pytest.mark.parametrize("activation", ["leaky_relu", "elu", "none"])
+def test_fused_abn_forward_matches_naive(xgb, activation):
+    x, gamma, beta = xgb
+    z, mean, var = abn_ops.fused_abn(x, gamma, beta, activation=activation)
+    expected = naive_abn(x, gamma, beta, activation=activation)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(expected), atol=1e-5)
+
+
+@pytest.mark.parametrize("activation", ["leaky_relu", "elu", "none"])
+def test_fused_abn_grads_match_naive(xgb, activation):
+    """The memory-saving backward (reconstructed from the output) must equal
+    the plain autodiff gradient of the BN+act composition."""
+    x, gamma, beta = xgb
+
+    def loss_fused(x, g, b):
+        z, _, _ = abn_ops.fused_abn(x, g, b, activation=activation)
+        return jnp.sum(jnp.sin(z) * z)
+
+    def loss_naive(x, g, b):
+        return jnp.sum(jnp.sin(naive_abn(x, g, b, activation=activation))
+                       * naive_abn(x, g, b, activation=activation))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b_ in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=2e-4)
+
+
+def test_fused_abn_inference_mode(xgb):
+    x, gamma, beta = xgb
+    mean = jnp.full((16,), 0.3)
+    var = jnp.full((16,), 2.0)
+    z = abn_ops.fused_abn(x, gamma, beta, mean=mean, var=var, training=False)
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+    expected = jnp.where(y >= 0, y, y * 0.01)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(expected), atol=1e-5)
+
+
+def test_inplace_abn_module_matches_plain_abn(xgb):
+    x, _, _ = xgb
+    m1 = InPlaceABN(16)
+    m2 = ABN(16)
+    v1 = m1.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    z1, upd1 = m1.apply(v1, x, use_running_average=False, mutable=["batch_stats"])
+    z2, upd2 = m2.apply(v2, x, use_running_average=False, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+    for k in ("mean", "var"):
+        s1 = jax.tree_util.tree_leaves(upd1["batch_stats"])
+        s2 = jax.tree_util.tree_leaves(upd2["batch_stats"])
+        for a, b_ in zip(s1, s2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_running_stats_torch_semantics():
+    """running = 0.9*running + 0.1*batch, with unbiased var correction."""
+    rng = np.random.RandomState(1)
+    x = jnp.array(rng.randn(2, 4, 4, 3).astype(np.float32))
+    m = BatchNormTorch(3)
+    v = m.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    _, upd = m.apply(v, x, use_running_average=False, mutable=["batch_stats"])
+    count = 2 * 4 * 4
+    bm = np.asarray(x).mean(axis=(0, 1, 2))
+    bv = np.asarray(x).var(axis=(0, 1, 2))
+    exp_mean = 0.1 * bm  # initial running mean is 0
+    exp_var = 0.9 * 1.0 + 0.1 * bv * count / (count - 1)  # initial running var is 1
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]), exp_mean, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]), exp_var, atol=1e-5)
+
+
+def test_sync_abn_shard_map_matches_global():
+    """fused_abn with axis_name under shard_map == fused_abn on the full batch
+    (the InPlaceABNSync replacement, SURVEY.md §2.8)."""
+    n_dev = jax.device_count()
+    assert n_dev == 8
+    rng = np.random.RandomState(2)
+    x = jnp.array(rng.randn(16, 4, 4, 8).astype(np.float32))
+    gamma = jnp.ones((8,))
+    beta = jnp.zeros((8,))
+
+    z_global, mean_g, var_g = abn_ops.fused_abn(x, gamma, beta)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    @jax.jit
+    def sharded(x, gamma, beta):
+        def f(x, gamma, beta):
+            z, m, v = abn_ops.fused_abn(x, gamma, beta, axis_name="data")
+            return z, m, v
+        return shard_map(
+            f, mesh=mesh,
+            in_specs=(P("data"), P(), P()),
+            out_specs=(P("data"), P(), P()),
+        )(x, gamma, beta)
+
+    z_sh, mean_sh, var_sh = sharded(x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_global), atol=1e-5)
+
+
+def test_sync_abn_gradients_match_global():
+    n_dev = jax.device_count()
+    rng = np.random.RandomState(3)
+    x = jnp.array(rng.randn(16, 4, 4, 8).astype(np.float32))
+    gamma = jnp.array(rng.rand(8).astype(np.float32) + 0.5)
+    beta = jnp.zeros((8,))
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    def loss_global(x, g, b):
+        z, _, _ = abn_ops.fused_abn(x, g, b)
+        return jnp.sum(z * z)
+
+    def loss_sharded(x, g, b):
+        def f(x, g, b):
+            z, _, _ = abn_ops.fused_abn(x, g, b, axis_name="data")
+            # per-shard partial sums -> global loss
+            return jax.lax.psum(jnp.sum(z * z), "data")
+        return shard_map(
+            f, mesh=mesh, in_specs=(P("data"), P(), P()), out_specs=P(),
+        )(x, g, b)
+
+    gx_g = jax.grad(loss_global)(x, gamma, beta)
+    gx_s = jax.grad(loss_sharded)(x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_g), atol=2e-4)

@@ -1,0 +1,116 @@
+"""Layer parity tests against torch (CPU) reference ops."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from segtpu.models import layers
+
+
+def test_upsample_nearest_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    got = np.asarray(layers.upsample_nearest(jnp.array(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.interpolate(xt, scale_factor=2, mode="nearest")
+    exp = exp.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_max_pool_matches_torch():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    got = np.asarray(layers.max_pool(jnp.array(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.max_pool2d(xt, 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_upsample_bilinear_align_corners_matches_torch():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 7, 9, 2).astype(np.float32)
+    got = np.asarray(layers.upsample_bilinear(jnp.array(x), (14, 18)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.interpolate(
+        xt, size=(14, 18), mode="bilinear", align_corners=True
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_pixel_shuffle_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 4, 18).astype(np.float32)  # C=2, r=3
+    got = np.asarray(layers.pixel_shuffle(jnp.array(x), 3))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.pixel_shuffle(xt, 3).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "k,s,p,op",
+    [(4, 2, 1, 0), (2, 2, 0, 0), (3, 2, 0, 0), (3, 2, 1, 1), (4, 2, 2, 0)],
+)
+def test_conv_transpose_matches_torch(k, s, p, op):
+    rng = np.random.RandomState(4)
+    cin, cout, h = 3, 5, 6
+    x = rng.randn(2, h, h, cin).astype(np.float32)
+    w = rng.randn(cin, cout, k, k).astype(np.float32) * 0.2
+    b = rng.randn(cout).astype(np.float32) * 0.1
+
+    m = layers.ConvTranspose2dTorch(cout, k, s, padding=p, output_padding=op)
+    v = m.init(jax.random.PRNGKey(0), jnp.array(x))
+    # flax ConvTranspose with transpose_kernel=True stores (k, k, cout, cin)
+    kernel = jnp.array(np.transpose(w, (2, 3, 1, 0)))
+    v = {"params": {"ConvTranspose_0": {"kernel": kernel, "bias": jnp.array(b)}}}
+    got = np.asarray(m.apply(v, jnp.array(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.conv_transpose2d(
+        xt, torch.from_numpy(w), torch.from_numpy(b),
+        stride=s, padding=p, output_padding=op,
+    ).permute(0, 2, 3, 1).numpy()
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,s,p,d,g", [(3, 1, 1, 1, 1), (7, 2, 3, 1, 1),
+                                       (3, 1, 2, 2, 1), (3, 1, 1, 1, 4)])
+def test_conv_matches_torch(k, s, p, d, g):
+    rng = np.random.RandomState(5)
+    cin, cout, h = 8, 16, 9
+    x = rng.randn(2, h, h, cin).astype(np.float32)
+    w = rng.randn(cout, cin // g, k, k).astype(np.float32) * 0.2
+    b = rng.randn(cout).astype(np.float32) * 0.1
+
+    m = layers.Conv(cout, k, stride=s, padding=p, dilation=d, groups=g)
+    kernel = jnp.array(np.transpose(w, (2, 3, 1, 0)))  # flax (k,k,cin/g,cout)
+    v = {"params": {"Conv_0": {"kernel": kernel, "bias": jnp.array(b)}}}
+    got = np.asarray(m.apply(v, jnp.array(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    exp = torch.nn.functional.conv2d(
+        xt, torch.from_numpy(w), torch.from_numpy(b),
+        stride=s, padding=p, dilation=d, groups=g,
+    ).permute(0, 2, 3, 1).numpy()
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+
+def test_dropout2d_drops_whole_channels():
+    m = layers.Dropout2d(0.5)
+    x = jnp.ones((4, 8, 8, 16))
+    v = m.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y = m.apply(v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    y = np.asarray(y)
+    # each (sample, channel) plane is either all-zero or all-scaled
+    planes = y.reshape(4, 64, 16)
+    per_plane_unique = [len(np.unique(planes[i, :, c])) for i in range(4) for c in range(16)]
+    assert max(per_plane_unique) == 1
+    assert (y == 0).any() and (y == 2.0).any()
+    # deterministic passes through
+    yd = m.apply(v, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(yd), np.asarray(x))
