@@ -1,0 +1,173 @@
+"""FC-DenseNet "Tiramisu" 57/67/103 (reference lib/models/tiramisu.py:93-205).
+
+The memory/recompute stress case (SURVEY.md §7): dense blocks concatenate
+every layer's output, so activation memory grows quadratically with depth.
+TPU-native handling: each dense block is wrapped in ``nn.remat``
+(rematerialization) so the backward pass recomputes block activations instead
+of keeping them in HBM — the reference had to run batch=1 (run_all.cmd:5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segtpu.models import register
+from segtpu.models.layers import (
+    BatchNormTorch,
+    Conv,
+    ConvTranspose2dTorch,
+    Dropout2d,
+    max_pool,
+)
+
+
+class DenseLayer(nn.Module):
+    """BN -> ReLU -> conv3x3 -> Dropout2d(0.2) (reference tiramisu.py:9-19)."""
+
+    growth_rate: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = BatchNormTorch(x.shape[-1], name="norm")(x, use_running_average=not train)
+        y = nn.relu(y)
+        y = Conv(self.growth_rate, 3, padding=1, dtype=self.dtype, name="conv")(y)
+        return Dropout2d(0.2, name="drop")(y, deterministic=not train)
+
+
+class DenseBlock(nn.Module):
+    """Concatenative growth (reference tiramisu.py:22-44). ``upsample=True``
+    returns only the newly produced features."""
+
+    growth_rate: int
+    n_layers: int
+    upsample: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        new_features = []
+        for i in range(self.n_layers):
+            out = DenseLayer(self.growth_rate, self.dtype, name=f"layer{i}")(x, train)
+            x = jnp.concatenate([x, out], axis=-1)
+            new_features.append(out)
+        if self.upsample:
+            return jnp.concatenate(new_features, axis=-1)
+        return x
+
+
+class TransitionDown(nn.Module):
+    """BN -> ReLU -> conv1x1 -> Dropout2d(0.2) -> maxpool2
+    (reference tiramisu.py:47-59)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = BatchNormTorch(x.shape[-1], name="norm")(x, use_running_average=not train)
+        y = nn.relu(y)
+        y = Conv(x.shape[-1], 1, padding=0, dtype=self.dtype, name="conv")(y)
+        y = Dropout2d(0.2, name="drop")(y, deterministic=not train)
+        return max_pool(y)
+
+
+def _center_crop(layer, h, w):
+    """(reference center_crop, tiramisu.py:86-90) — NHWC."""
+    lh, lw = layer.shape[1], layer.shape[2]
+    y0 = (lh - h) // 2
+    x0 = (lw - w) // 2
+    return layer[:, y0:y0 + h, x0:x0 + w, :]
+
+
+class TransitionUp(nn.Module):
+    """deconv(k3,s2) -> center-crop to skip -> concat (reference
+    tiramisu.py:62-73)."""
+
+    out_channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, skip):
+        y = ConvTranspose2dTorch(self.out_channels, 3, 2, dtype=self.dtype,
+                                 name="convTrans")(x)
+        y = _center_crop(y, skip.shape[1], skip.shape[2])
+        return jnp.concatenate([y, skip], axis=-1)
+
+
+class FCDenseNet(nn.Module):
+    """reference FCDenseNet (tiramisu.py:93-205), NHWC + per-block remat."""
+
+    in_channels: int = 3
+    down_blocks: Sequence[int] = (5, 5, 5, 5, 5)
+    up_blocks: Sequence[int] = (5, 5, 5, 5, 5)
+    bottleneck_layers: int = 5
+    growth_rate: int = 16
+    out_chans_first_conv: int = 48
+    n_classes: int = 12
+    remat: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Block = nn.remat(DenseBlock, static_argnums=(2,)) if self.remat else DenseBlock
+
+        out = Conv(self.out_chans_first_conv, 3, padding=1, dtype=self.dtype,
+                   name="firstconv")(x)
+
+        skips = []
+        for i, n in enumerate(self.down_blocks):
+            out = Block(self.growth_rate, n, dtype=self.dtype,
+                        name=f"denseDown{i}")(out, train)
+            skips.append(out)
+            out = TransitionDown(dtype=self.dtype, name=f"transDown{i}")(out, train)
+
+        out = Block(self.growth_rate, self.bottleneck_layers, upsample=True,
+                    dtype=self.dtype, name="bottleneck")(out, train)
+
+        for i, n in enumerate(self.up_blocks):
+            skip = skips.pop()
+            last = i == len(self.up_blocks) - 1
+            out = TransitionUp(out.shape[-1], dtype=self.dtype,
+                               name=f"transUp{i}")(out, skip)
+            out = Block(self.growth_rate, n, upsample=not last,
+                        dtype=self.dtype, name=f"denseUp{i}")(out, train)
+
+        out = Conv(self.n_classes, 1, padding=0, dtype=self.dtype,
+                   name="finalConv")(out)
+        return out.astype(jnp.float32)
+
+
+def FCDenseNet57(n_classes: int = 1, **kw) -> FCDenseNet:
+    return FCDenseNet(down_blocks=(4,) * 5, up_blocks=(4,) * 5,
+                      bottleneck_layers=4, growth_rate=12,
+                      out_chans_first_conv=48, n_classes=n_classes, **kw)
+
+
+def FCDenseNet67(n_classes: int = 1, **kw) -> FCDenseNet:
+    return FCDenseNet(down_blocks=(5,) * 5, up_blocks=(5,) * 5,
+                      bottleneck_layers=5, growth_rate=16,
+                      out_chans_first_conv=48, n_classes=n_classes, **kw)
+
+
+def FCDenseNet103(n_classes: int = 1, **kw) -> FCDenseNet:
+    return FCDenseNet(down_blocks=(4, 5, 7, 10, 12), up_blocks=(12, 10, 7, 5, 4),
+                      bottleneck_layers=15, growth_rate=16,
+                      out_chans_first_conv=48, n_classes=n_classes, **kw)
+
+
+@register("tiramisu67")
+def _tiramisu67(patch_size, num_channels):
+    return FCDenseNet67(n_classes=1)
+
+
+@register("tiramisu57")
+def _tiramisu57(patch_size, num_channels):
+    return FCDenseNet57(n_classes=1)
+
+
+@register("tiramisu103")
+def _tiramisu103(patch_size, num_channels):
+    return FCDenseNet103(n_classes=1)

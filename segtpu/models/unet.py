@@ -1,0 +1,206 @@
+"""U-Net family: UNet, UNetABN, ZF_UNET, Afterburner (NHWC Flax).
+
+Capability parity with reference lib/models/unet.py, unet_abn.py, zf_unet.py,
+afterburner.py — rebuilt as functional NHWC modules. All output raw logits
+with ``n_classes`` channels (default 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segtpu.models.layers import (
+    BatchNormTorch,
+    Conv,
+    ConvTranspose2dTorch,
+    Dropout2d,
+    InPlaceABN,
+    max_pool,
+    upsample_nearest,
+)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 -> BN -> ReLU) x2 (reference unet.py:6-22)."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(2):
+            x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = BatchNormTorch(self.features, name=f"bn{i}")(x, use_running_average=not train)
+            x = nn.relu(x)
+        return x
+
+
+class DoubleConvABN(nn.Module):
+    """(conv3x3 -> InPlaceABN) x2 (reference unet_abn.py:6-22) — the fused
+    Pallas ABN path with memory-saving backward."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(2):
+            x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = InPlaceABN(self.features, name=f"abn{i}")(x, use_running_average=not train)
+        return x
+
+
+def _pad_to_match(small, big):
+    """Pad `small` spatially to `big`'s H/W (reference unet.py:60-64)."""
+    dh = big.shape[1] - small.shape[1]
+    dw = big.shape[2] - small.shape[2]
+    if dh == 0 and dw == 0:
+        return small
+    return jnp.pad(
+        small, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0))
+    )
+
+
+class _Up(nn.Module):
+    """Upsample (nearest or deconv), pad-and-concat skip, double conv
+    (reference unet.py:48-67)."""
+
+    features: int
+    abn: bool = False
+    upsample: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool):
+        if self.upsample:
+            x1 = upsample_nearest(x1)
+        else:
+            x1 = ConvTranspose2dTorch(x1.shape[-1], 2, 2, dtype=self.dtype)(x1)
+        x2 = _pad_to_match(x2, x1)
+        x = jnp.concatenate([x2, x1], axis=-1)
+        block = DoubleConvABN if self.abn else DoubleConv
+        return block(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class UNet(nn.Module):
+    """Classic U-Net (reference lib/models/unet.py:80-107).
+
+    4x down via maxpool, 4x up via nearest upsample (or deconv), concat
+    skips, Dropout2d(0.5) before the 1x1 head.
+    """
+
+    n_channels: int = 3
+    n_classes: int = 1
+    n_filters: int = 32
+    upsample: bool = True
+    abn: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.n_filters
+        block = DoubleConvABN if self.abn else DoubleConv
+        x1 = block(f, dtype=self.dtype, name="inc")(x, train)
+        x2 = block(f * 2, dtype=self.dtype, name="down1")(max_pool(x1), train)
+        x3 = block(f * 4, dtype=self.dtype, name="down2")(max_pool(x2), train)
+        x4 = block(f * 8, dtype=self.dtype, name="down3")(max_pool(x3), train)
+        x5 = block(f * 8, dtype=self.dtype, name="down4")(max_pool(x4), train)
+        y = _Up(f * 4, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up1")(x5, x4, train)
+        y = _Up(f * 2, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up2")(y, x3, train)
+        y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up3")(y, x2, train)
+        y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up4")(y, x1, train)
+        y = Dropout2d(0.5, name="finaldrop")(y, deterministic=not train)
+        return Conv(self.n_classes, 1, padding=0, dtype=self.dtype, name="outc")(
+            y
+        ).astype(jnp.float32)
+
+
+class UNetABN(nn.Module):
+    """UNet with fused InPlaceABN blocks (reference lib/models/unet_abn.py)."""
+
+    n_channels: int = 3
+    n_classes: int = 1
+    n_filters: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return UNet(
+            n_channels=self.n_channels,
+            n_classes=self.n_classes,
+            n_filters=self.n_filters,
+            abn=True,
+            dtype=self.dtype,
+            name="unet",
+        )(x, train)
+
+
+class _ZFDoubleConv(nn.Module):
+    """conv-BN-ReLU x2 + Dropout2d (reference zf_unet.py:5-32)."""
+
+    features: int
+    dropout: float = 0.2
+    batch_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(2):
+            x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            if self.batch_norm:
+                x = BatchNormTorch(self.features, name=f"bn{i}")(x, use_running_average=not train)
+            x = nn.relu(x)
+        x = Dropout2d(self.dropout)(x, deterministic=not train)
+        return x
+
+
+class ZF_UNET(nn.Module):
+    """ZF_UNET_224: 5-level U-Net, 32->1024 filters, per-block Dropout2d(0.2),
+    nearest upsample + concat (reference lib/models/zf_unet.py:35-95)."""
+
+    input_channels: int = 3
+    num_classes: int = 1
+    filters: int = 32
+    dropout_val: float = 0.2
+    batch_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.filters
+
+        def dc(feat, name):
+            return _ZFDoubleConv(
+                feat, self.dropout_val, self.batch_norm, self.dtype, name=name
+            )
+
+        c224 = dc(f, "conv_224")(x, train)
+        c112 = dc(2 * f, "conv_112")(max_pool(c224), train)
+        c56 = dc(4 * f, "conv_56")(max_pool(c112), train)
+        c28 = dc(8 * f, "conv_28")(max_pool(c56), train)
+        c14 = dc(16 * f, "conv_14")(max_pool(c28), train)
+        c7 = dc(32 * f, "conv_7")(max_pool(c14), train)
+
+        u = dc(16 * f, "up_conv_14")(jnp.concatenate([upsample_nearest(c7), c14], -1), train)
+        u = dc(8 * f, "up_conv_28")(jnp.concatenate([upsample_nearest(u), c28], -1), train)
+        u = dc(4 * f, "up_conv_56")(jnp.concatenate([upsample_nearest(u), c56], -1), train)
+        u = dc(2 * f, "up_conv_112")(jnp.concatenate([upsample_nearest(u), c112], -1), train)
+        u = dc(f, "up_conv_224")(jnp.concatenate([upsample_nearest(u), c224], -1), train)
+        return Conv(self.num_classes, 1, padding=0, dtype=self.dtype, name="conv_final")(
+            u
+        ).astype(jnp.float32)
+
+
+class Afterburner(nn.Module):
+    """1-channel-in UNet refining a frozen head's sigmoid output
+    (reference lib/models/afterburner.py:8-15)."""
+
+    n_channels: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return UNet(n_channels=self.n_channels, n_classes=1, dtype=self.dtype, name="unet")(x, train)

@@ -1,0 +1,61 @@
+"""Mesh + sharding utilities (SURVEY.md §2.8).
+
+Data parallelism is first-class: the batch axis is sharded over the ``data``
+mesh axis and parameters are replicated; XLA inserts the ICI collectives
+(gradient psum, sync-BN statistic reductions) automatically because the step
+function is expressed over logically-global arrays. A ``model`` axis is kept
+in the mesh shape for future tensor-parallel layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ICI-friendly layout: contiguous device ranges map to the model axis so
+    model collectives ride neighbor links; the data axis spans the rest.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch sharded over the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)

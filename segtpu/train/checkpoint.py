@@ -1,0 +1,84 @@
+"""Checkpoint / resume with the reference's best+last dual-file semantics
+(reference torch_train.py:308-330, SURVEY.md §5).
+
+Each snapshot stores {params, batch_stats, opt_state, epoch, loss,
+train_history, args} — Orbax for the array trees, JSON sidecar for the
+metadata — under ``<name>.ckpt/``. ``*_checkpoint`` = best-val-loss epoch,
+``*_snapshot`` = last epoch, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta.json")
+
+
+def save_snapshot(
+    state,
+    loss: float,
+    epoch: int,
+    train_history: Dict[str, list],
+    snapshot_path: str,
+    args: Optional[str] = None,
+) -> None:
+    """Write a full training snapshot (reference save_snapshot,
+    torch_train.py:308-316)."""
+    import orbax.checkpoint as ocp
+
+    snapshot_path = os.path.abspath(snapshot_path)
+    if os.path.exists(snapshot_path):
+        shutil.rmtree(snapshot_path)
+    tree = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(snapshot_path, "state"), tree)
+    meta = {
+        "epoch": int(epoch),
+        "loss": float(loss),
+        "train_history": train_history,
+        "args": args if args is not None else " ".join(sys.argv[1:]),
+    }
+    with open(_meta_path(snapshot_path), "w") as f:
+        json.dump(meta, f)
+
+
+def restore_snapshot(
+    state,
+    snapshot_path: str,
+    restore_opt: bool = True,
+) -> Tuple[Any, int, Dict[str, list], float]:
+    """Restore (state, start_epoch, train_history, best_loss)
+    (reference restore_snapshot, torch_train.py:319-330)."""
+    import orbax.checkpoint as ocp
+
+    snapshot_path = os.path.abspath(snapshot_path)
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.join(snapshot_path, "state"), template)
+    with open(_meta_path(snapshot_path)) as f:
+        meta = json.load(f)
+
+    new_state = state.replace(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"] if restore_opt else state.opt_state,
+    )
+    start_epoch = meta["epoch"] + 1
+    return new_state, start_epoch, meta["train_history"], meta["loss"]

@@ -1,0 +1,205 @@
+"""Training harness CLI — the public API (reference torch_train.py:333-451).
+
+Flag names/semantics match the reference exactly; TPU-specific additions are
+opt-in extras (``--bf16``, ``--model-parallel``, ``--light-logging``).
+
+One grid cell: argparse -> registries build model/loss/optimizer/dataset ->
+epoch loop alternating compiled train/eval steps -> history appended ->
+best/last checkpoints -> CSV written at the end.
+
+Usage:
+    python -m segtpu.train_cli -m unet -d shapes -l bce -o adam -b 8 -p 128 -e 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+from segtpu.data import DataLoader, get_dataset
+from segtpu.models import get_model
+from segtpu.ops import default_metrics, get_loss
+from segtpu.parallel import batch_sharding, make_mesh, replicate
+from segtpu.train.checkpoint import restore_snapshot, save_snapshot
+from segtpu.train.loop import run_train_epoch, run_validate_epoch
+from segtpu.train.optim import cosine_annealing_lr, get_optimizer
+from segtpu.train.state import create_train_state, make_eval_step, make_train_step
+from segtpu.utils import count_parameters
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-g", "--grayscale", action="store_true",
+                        help="Whether to use grayscale image instead of RGB")
+    parser.add_argument("-m", "--model", required=True, type=str, help="Name of the model")
+    parser.add_argument("-p", "--patch-size", type=int, default=224)
+    parser.add_argument("-b", "--batch-size", type=int, default=1,
+                        help="Batch Size during training, e.g. -b 64")
+    parser.add_argument("-lr", "--learning-rate", type=float, default=1e-3,
+                        help="Initial learning rate")
+    parser.add_argument("-l", "--loss", type=str, default="bce", help="Target loss")
+    parser.add_argument("-o", "--optimizer", default="SGD", help="Name of the optimizer")
+    parser.add_argument("-e", "--epochs", type=int, default=100, help="Epoch to run")
+    parser.add_argument("-d", "--dataset", type=str,
+                        help="Name of the dataset to use for training.")
+    parser.add_argument("-dd", "--data-dir", type=str, default="data",
+                        help="Root directory where datasets are located.")
+    parser.add_argument("-s", "--steps", type=int, default=128, help="Steps per epoch")
+    parser.add_argument("-x", "--experiment", type=str, help="Name of the experiment")
+    parser.add_argument("-w", "--workers", default=0, type=int, help="Num workers")
+    parser.add_argument("-r", "--resume", action="store_true")
+    parser.add_argument("-mem", "--memory", action="store_true")
+    parser.add_argument("-sgdr", action="store_true")
+    # TPU-native extras
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (params stay fp32)")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="Model-parallel mesh axis size")
+    parser.add_argument("--light-logging", action="store_true",
+                        help="Skip per-epoch image grids and weight histograms")
+    parser.add_argument("--no-tensorboard", action="store_true")
+    parser.add_argument("--experiments-dir", type=str, default="experiments")
+    return parser
+
+
+def main(argv=None):
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.dataset is None:
+        parser.error("the following arguments are required: -d/--dataset")
+
+    if args.experiment is None:
+        args.experiment = "%s_%s_%d_%s_%s" % (
+            args.dataset, args.model, args.patch_size,
+            "gray" if args.grayscale else "rgb", args.loss,
+        )
+
+    experiment_dir = os.path.join(
+        args.experiments_dir, args.dataset, args.loss, args.experiment
+    )
+    os.makedirs(experiment_dir, exist_ok=True)
+
+    writer = None
+    if not args.no_tensorboard:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(comment="_" + args.experiment)
+
+    with open(os.path.join(experiment_dir, "arguments.txt"), "w") as f:
+        f.write(" ".join(sys.argv[1:]))
+
+    num_channels = 1 if args.grayscale else 3
+    dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16
+
+    model = get_model(args.model, patch_size=args.patch_size, num_channels=num_channels)
+    if dtype is not None and hasattr(model, "dtype"):
+        model = model.replace(dtype=dtype) if hasattr(model, "replace") else model
+
+    loss_fn = get_loss(args.loss)
+    tx = get_optimizer(args.optimizer, args.learning_rate)
+    metrics = default_metrics()
+
+    trainset, validset, num_classes = get_dataset(
+        args.dataset, args.data_dir, grayscale=args.grayscale,
+        patch_size=args.patch_size, keep_in_mem=args.memory,
+    )
+    if args.steps > 0:
+        from segtpu.data.pipeline import Subset
+        trainset = Subset(trainset, args.steps * args.batch_size)
+        validset = Subset(validset, max(args.steps // 4, 1) * args.batch_size)
+
+    mesh = make_mesh(model_parallel=args.model_parallel)
+    sharding = batch_sharding(mesh)
+
+    state = create_train_state(
+        model, tx, (args.batch_size, args.patch_size, args.patch_size, num_channels)
+    )
+    state = replicate(state, mesh)
+
+    print("Train set size", len(trainset))
+    print("Valid set size", len(validset))
+    print("Model         ", args.model)
+    print("Parameters    ", count_parameters(state.params))
+    print("Devices       ", jax.device_count(), jax.default_backend())
+
+    workers = args.workers if args.workers > 0 else 4
+    trainloader = DataLoader(trainset, batch_size=args.batch_size, shuffle=True,
+                             workers=workers, drop_last=True)
+    validloader = DataLoader(validset, batch_size=args.batch_size, shuffle=False,
+                             workers=workers, drop_last=True)
+
+    start_epoch = 0
+    best_loss = np.inf
+    train_history: dict = {}
+
+    checkpoint_filename = os.path.join(experiment_dir, f"{args.model}_checkpoint.ckpt")
+    snapshot_filename = os.path.join(experiment_dir, f"{args.model}_snapshot.ckpt")
+
+    if args.resume:
+        state, start_epoch, train_history, best_loss = restore_snapshot(
+            state, checkpoint_filename
+        )
+        print("Resuming training from epoch", start_epoch, " and loss", best_loss)
+
+    train_step = make_train_step(loss_fn, metrics)
+    eval_step = make_eval_step(loss_fn, metrics, with_pr_curve=writer is not None)
+    rng = jax.random.PRNGKey(42)
+
+    metric_names = list(metrics)
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = args.learning_rate
+        if args.sgdr:
+            lr = cosine_annealing_lr(epoch, args.learning_rate, t_max=10, eta_min=1e-8)
+            if writer is not None:
+                writer.add_scalar("train/lr", lr, global_step=epoch)
+
+        trainloader.set_epoch(epoch)
+        state, train_loss, train_scores = run_train_epoch(
+            train_step, state, trainloader, lr, rng, epoch, metric_names,
+            writer=writer, sharding=sharding,
+            log_images=not args.light_logging,
+            log_histograms=not args.light_logging,
+        )
+        valid_loss, valid_scores = run_validate_epoch(
+            eval_step, state, validloader, epoch, metric_names,
+            writer=writer, sharding=sharding,
+        )
+
+        summary = {"epoch": epoch, "loss": train_loss.avg, "val_loss": valid_loss.avg}
+        for key, value in train_scores.items():
+            summary[key] = value.avg
+        for key, value in valid_scores.items():
+            summary["val_" + key] = value.avg
+
+        for key, value in summary.items():
+            train_history.setdefault(key, []).append(value)
+
+        print(epoch, summary)
+
+        if valid_loss.avg < best_loss:
+            save_snapshot(state, valid_loss.avg, epoch, train_history, checkpoint_filename)
+            best_loss = valid_loss.avg
+            print("Checkpoint saved", epoch, best_loss)
+
+        save_snapshot(state, valid_loss.avg, epoch, train_history, snapshot_filename)
+
+    print("Training is finished...")
+
+    import pandas as pd
+    df = pd.DataFrame(train_history)
+    csv_path = os.path.join(experiment_dir, args.experiment + ".csv")
+    df.to_csv(csv_path, index=False, mode="a" if args.resume else "w",
+              header=not args.resume)
+    return train_history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Model zoo forward shape/dtype tests (SURVEY.md §4d): every registry name
+produces (N, H, W, 1) float32 logits at its working sizes, in train and eval
+modes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.models import get_model, model_names
+
+
+FAST_MODELS = ["unet", "unet_abn", "zf_unet", "linknet34", "dilated_linknet34",
+               "unet11", "squeezenet", "linknext"]
+SLOW_MODELS = ["unet16", "tiramisu57", "tiramisu67", "gcn34"]
+HEAVY_MODELS = ["gcn", "psp_net", "duc", "duc_dc", "tiramisu103"]
+
+
+def _run_forward(name, patch=64, batch=1):
+    model = get_model(name, patch_size=patch, num_channels=3)
+    x = jnp.zeros((batch, patch, patch, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (batch, patch, patch, 1), (name, y.shape)
+    assert y.dtype == jnp.float32
+    # train mode with mutable stats + dropout rng
+    y2, _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert y2.shape == (batch, patch, patch, 1)
+    assert np.isfinite(np.asarray(y2)).all(), name
+
+
+@pytest.mark.parametrize("name", FAST_MODELS)
+def test_forward_fast_models(name):
+    _run_forward(name)
+
+
+@pytest.mark.parametrize("name", SLOW_MODELS)
+def test_forward_slow_models(name):
+    _run_forward(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HEAVY_MODELS)
+def test_forward_heavy_models(name):
+    _run_forward(name, patch=32)
+
+
+def test_registry_lists_all_reference_names():
+    """All 16 reference registry names (torch_train.py:100-148) resolve."""
+    reference_names = [
+        "unet", "unet_abn", "unet11", "unet16", "zf_unet", "linknet34",
+        "dilated_linknet34", "linknext", "tiramisu67", "gcn", "gcn34",
+        "psp_net", "duc", "duc_dc", "squeezenet",
+    ]
+    available = model_names()
+    for name in reference_names:
+        assert name in available, name
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError):
+        get_model("not_a_model")
+
+
+def test_unet_param_count_matches_reference():
+    """Exact parameter-count parity with the torch reference UNet/ZF_UNET
+    (counted from the torch modules: 3,352,257 / 31,454,721)."""
+    for name, expected in [("unet", 3_352_257), ("zf_unet", 31_454_721)]:
+        model = get_model(name)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        n = sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+        assert n == expected, (name, n, expected)
