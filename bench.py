@@ -1,0 +1,127 @@
+"""Benchmark: training throughput (images/sec/chip) at 512^2, ZF_UNET.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline (the divisor for vs_baseline) is the torch CPU reference measured
+once on this machine and stored in bench_baseline.json — the reference
+publishes no numbers (BASELINE.md), so the target is >=5x the CPU baseline
+per BASELINE.json. Re-measure with: python bench.py --measure-cpu-baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
+                warmup: int = 3, model_name: str = "zf_unet",
+                bf16: bool = True) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from segtpu.models import get_model
+    from segtpu.ops import default_metrics, get_loss
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import create_train_state, make_train_step
+    from segtpu.data.shapes import DeviceShapes
+
+    model = get_model(model_name)
+    if bf16 and hasattr(model, "dtype"):
+        model = model.replace(dtype=jnp.bfloat16)
+    tx = get_optimizer("sgd", 1e-3)
+    state = create_train_state(model, tx, (batch_size, patch, patch, 3))
+
+    gen = DeviceShapes(patch)
+    x, y = gen.batch(jax.random.PRNGKey(0), batch_size)
+    jax.block_until_ready(x)
+
+    step = make_train_step(get_loss("bce"), default_metrics(), donate=True)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(warmup):
+        state, logs = step(state, (x, y), 1e-3, rng)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = step(state, (x, y), 1e-3, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def measure_cpu_baseline(batch_size: int = 4, patch: int = 512,
+                         steps: int = 3) -> float:
+    """Torch CPU reference throughput for the same workload (ZF_UNET-shape
+    model, BCE, SGD). Slow — run once, cached in bench_baseline.json."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from lib.models.zf_unet import ZF_UNET  # pure-torch reference model
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = ZF_UNET()
+    model.train()
+    opt = torch.optim.SGD(model.parameters(), lr=1e-3)
+    lossf = torch.nn.BCEWithLogitsLoss()
+    x = torch.randn(batch_size, 3, patch, patch)
+    y = (torch.rand(batch_size, 1, patch, patch) > 0.5).float()
+
+    # warmup
+    opt.zero_grad()
+    loss = lossf(model(x), y)
+    (batch_size * loss).backward()
+    opt.step()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = lossf(model(x), y)
+        (batch_size * loss).backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--measure-cpu-baseline", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--patch", type=int, default=512)
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+    if args.measure_cpu_baseline:
+        ips = measure_cpu_baseline(patch=args.patch)
+        with open(baseline_path, "w") as f:
+            json.dump({"cpu_images_per_sec": ips, "patch": args.patch,
+                       "model": "zf_unet", "note": "torch CPU reference"}, f)
+        print(json.dumps({"cpu_images_per_sec": ips}))
+        return
+
+    value = measure_tpu(batch_size=args.batch_size, patch=args.patch,
+                        steps=args.steps)
+
+    vs_baseline = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            cpu = json.load(f)["cpu_images_per_sec"]
+        vs_baseline = value / cpu
+
+    print(json.dumps({
+        "metric": f"zf_unet {args.patch}^2 bf16 train throughput",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Tiled-inference / submission CLI (reference inria_submit.py:260-308).
+
+Restores a checkpoint, runs full or tiled prediction with D4 TTA over every
+image in ``<data-dir>/images``, thresholds at 0.5 and writes ``.tif`` masks
+to ``submits/<experiment>/``.
+
+    python submit.py -m linknet34 -c linknet34_checkpoint.ckpt -p 512 -b 16 -dd data/inria
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from segtpu.augment import host as aug
+from segtpu.data.inria import INRIA_MEAN, INRIA_STD
+from segtpu.inference import predict_full, predict_tiled
+from segtpu.models import get_model
+from segtpu.train.checkpoint import restore_snapshot
+from segtpu.train.optim import get_optimizer
+from segtpu.train.state import create_train_state, make_predict_step
+from segtpu.utils import auto_file, find_in_dir, read_rgb
+
+
+def build_arg_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-g", "--grayscale", action="store_true",
+                        help="Whether to use grayscale image instead of RGB")
+    parser.add_argument("-m", "--model", required=True, type=str,
+                        help="Name of the model")
+    parser.add_argument("-c", "--checkpoint", required=True, type=str,
+                        help="Name of the model checkpoint")
+    parser.add_argument("-p", "--patch-size", type=int, default=224)
+    parser.add_argument("-b", "--batch-size", type=int, default=1,
+                        help="Batch Size during inference")
+    parser.add_argument("-dd", "--data-dir", type=str, default="data",
+                        help="Root directory where datasets are located.")
+    parser.add_argument("-x", "--experiment", type=str,
+                        help="Name of the experiment")
+    parser.add_argument("-f", "--full", action="store_true")
+    parser.add_argument("--no-tta", action="store_true")
+    parser.add_argument("--submits-dir", type=str, default="submits")
+    return parser
+
+
+def main(argv=None):
+    import cv2
+    from tqdm import tqdm
+
+    args = build_arg_parser().parse_args(argv)
+
+    if args.experiment is None:
+        args.experiment = "inria_%s_%d_%s" % (
+            args.model, args.patch_size, "gray" if args.grayscale else "rgb"
+        )
+
+    experiment_dir = os.path.join(args.submits_dir, args.experiment)
+    os.makedirs(experiment_dir, exist_ok=True)
+
+    num_channels = 1 if args.grayscale else 3
+    model = get_model(args.model, patch_size=args.patch_size,
+                      num_channels=num_channels)
+    tx = get_optimizer("sgd", 1e-3)
+    state = create_train_state(
+        model, tx, (1, args.patch_size, args.patch_size, num_channels)
+    )
+    state, start_epoch, _, best_loss = restore_snapshot(
+        state, auto_file(args.checkpoint), restore_opt=False
+    )
+    print("Using weights from epoch", start_epoch - 1, best_loss)
+
+    test_transform = aug.Sequential([
+        aug.ImageOnly(aug.NormalizeImage(mean=INRIA_MEAN, std=INRIA_STD)),
+    ])
+
+    predict_step = make_predict_step()
+    predict_fn = lambda x: predict_step(state, x)
+
+    images = sorted(find_in_dir(os.path.join(args.data_dir, "images")))
+    for test_fname in tqdm(images, total=len(images)):
+        image = read_rgb(test_fname)
+        basename = os.path.splitext(os.path.basename(test_fname))[0]
+
+        if args.full:
+            mask = predict_full(image, predict_fn, test_transform,
+                                tta=not args.no_tta)
+        else:
+            mask = predict_tiled(image, predict_fn, test_transform,
+                                 args.patch_size, args.batch_size,
+                                 tta=not args.no_tta)
+
+        mask = ((mask > 0.5) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(experiment_dir, basename + ".tif"), mask)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,26 +1,34 @@
 """Checkpoint / resume with the reference's best+last dual-file semantics
 (reference torch_train.py:308-330, SURVEY.md §5).
 
-Each snapshot stores {params, batch_stats, opt_state, epoch, loss,
-train_history, args} — Orbax for the array trees, JSON sidecar for the
-metadata — under ``<name>.ckpt/``. ``*_checkpoint`` = best-val-loss epoch,
-``*_snapshot`` = last epoch, exactly as in the reference.
+Each snapshot is a directory ``<name>.ckpt/`` holding:
+  * ``state.msgpack`` — flax-serialized {params, batch_stats, opt_state}
+    (host numpy; backend-agnostic — orbax's async machinery stalls on the
+    single-chip axon transport, so the torch.save-equivalent flat file is
+    both simpler and dependable);
+  * ``meta.json`` — {epoch, loss, train_history, args}.
+
+``*_checkpoint`` = best-val-loss epoch, ``*_snapshot`` = last epoch, exactly
+as in the reference.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
+from flax import serialization
 
 
 def _meta_path(path: str) -> str:
     return os.path.join(path, "meta.json")
+
+
+def _state_path(path: str) -> str:
+    return os.path.join(path, "state.msgpack")
 
 
 def save_snapshot(
@@ -33,18 +41,18 @@ def save_snapshot(
 ) -> None:
     """Write a full training snapshot (reference save_snapshot,
     torch_train.py:308-316)."""
-    import orbax.checkpoint as ocp
-
     snapshot_path = os.path.abspath(snapshot_path)
-    if os.path.exists(snapshot_path):
-        shutil.rmtree(snapshot_path)
+    os.makedirs(snapshot_path, exist_ok=True)
     tree = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(snapshot_path, "state"), tree)
+    tmp = _state_path(snapshot_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    os.replace(tmp, _state_path(snapshot_path))
+
     meta = {
         "epoch": int(epoch),
         "loss": float(loss),
@@ -62,16 +70,14 @@ def restore_snapshot(
 ) -> Tuple[Any, int, Dict[str, list], float]:
     """Restore (state, start_epoch, train_history, best_loss)
     (reference restore_snapshot, torch_train.py:319-330)."""
-    import orbax.checkpoint as ocp
-
     snapshot_path = os.path.abspath(snapshot_path)
     template = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
-    with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.join(snapshot_path, "state"), template)
+    with open(_state_path(snapshot_path), "rb") as f:
+        tree = serialization.from_bytes(template, f.read())
     with open(_meta_path(snapshot_path)) as f:
         meta = json.load(f)
 

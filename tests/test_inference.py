@@ -1,0 +1,95 @@
+"""Tiled/full inference tests: identity round-trips, TTA equivariance, and
+the submit CLI end-to-end on a tiny synthetic INRIA-style dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from segtpu.inference import predict_full, predict_tiled
+
+
+def _identity_predict(x):
+    """A 'model' that returns the mean channel as its sigmoid output."""
+    return jnp.mean(x, axis=-1, keepdims=True)
+
+
+def test_predict_tiled_identity_roundtrip():
+    rng = np.random.RandomState(0)
+    image = rng.rand(100, 140, 3).astype(np.float32)
+    out = predict_tiled(image, _identity_predict, patch_size=64, batch_size=8,
+                        tta=True)
+    assert out.shape == (100, 140)
+    np.testing.assert_allclose(out, image.mean(-1), atol=1e-4)
+
+
+def test_predict_tiled_no_tta_and_mean_weight():
+    rng = np.random.RandomState(1)
+    image = rng.rand(96, 96, 3).astype(np.float32)
+    out = predict_tiled(image, _identity_predict, patch_size=64, batch_size=4,
+                        tta=False, weight="mean")
+    np.testing.assert_allclose(out, image.mean(-1), atol=1e-4)
+
+
+def test_predict_full_identity():
+    rng = np.random.RandomState(2)
+    image = rng.rand(50, 70, 3).astype(np.float32)
+    out = predict_full(image, _identity_predict)
+    assert out.shape == (50, 70)
+    np.testing.assert_allclose(out, image.mean(-1), atol=1e-4)
+
+
+def test_predict_tiled_d4_equivariance():
+    """A D4-equivariant predictor => TTA output == no-TTA output."""
+    rng = np.random.RandomState(3)
+    image = rng.rand(64, 64, 3).astype(np.float32)
+    a = predict_tiled(image, _identity_predict, patch_size=64, batch_size=8, tta=True)
+    b = predict_tiled(image, _identity_predict, patch_size=64, batch_size=1, tta=False)
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_submit_cli_end_to_end(tmp_path):
+    """Train 1 step -> checkpoint -> submit CLI writes thresholded .tif masks."""
+    import cv2
+    import jax
+
+    from segtpu.models import get_model
+    from segtpu.ops import get_loss
+    from segtpu.train.checkpoint import save_snapshot
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import create_train_state
+    from segtpu import submit_cli
+
+    # tiny fake INRIA layout
+    data_dir = tmp_path / "data"
+    (data_dir / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for name in ["austin1", "vienna2"]:
+        img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(data_dir / "images" / f"{name}.tif"), img)
+
+    model = get_model("unet")
+    tx = get_optimizer("sgd", 1e-2)
+    state = create_train_state(model, tx, (1, 64, 64, 3))
+    ckpt = tmp_path / "unet_checkpoint.ckpt"
+    save_snapshot(state, 0.5, 0, {}, str(ckpt), args="test")
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        submit_cli.main([
+            "-m", "unet", "-c", "unet_checkpoint.ckpt", "-p", "64", "-b", "8",
+            "-dd", str(data_dir), "--submits-dir", str(tmp_path / "submits"),
+        ])
+    finally:
+        os.chdir(cwd)
+
+    out_dir = tmp_path / "submits" / "inria_unet_64_rgb"
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["austin1.tif", "vienna2.tif"]
+    mask = cv2.imread(str(out_dir / "austin1.tif"), cv2.IMREAD_GRAYSCALE)
+    assert mask.shape == (96, 96)
+    assert set(np.unique(mask)) <= {0, 255}

@@ -113,7 +113,8 @@ def test_device_shapes_generator():
     gen = DeviceShapes(64)
     x, y = gen.batch(jax.random.PRNGKey(0), 4)
     assert x.shape == (4, 64, 64, 3) and y.shape == (4, 64, 64, 1)
-    assert 0.0 <= float(x.min()) and float(x.max()) <= 1.0
+    # ImageNet-normalized: roughly within +-3 std
+    assert -3.0 <= float(x.min()) and float(x.max()) <= 3.0
     assert set(np.unique(np.asarray(y))) <= {0.0, 1.0}
     assert float(y.mean()) > 0  # some ellipse pixels present
 
