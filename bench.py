@@ -29,9 +29,11 @@ def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
     from segtpu.train.state import create_train_state, make_train_step
     from segtpu.data.shapes import DeviceShapes
 
+    import dataclasses
+
     model = get_model(model_name)
     if bf16 and hasattr(model, "dtype"):
-        model = model.replace(dtype=jnp.bfloat16)
+        model = dataclasses.replace(model, dtype=jnp.bfloat16)
     tx = get_optimizer("sgd", 1e-3)
     state = create_train_state(model, tx, (batch_size, patch, patch, 3))
 
@@ -44,13 +46,16 @@ def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
 
     for _ in range(warmup):
         state, logs = step(state, (x, y), 1e-3, rng)
-    jax.block_until_ready(state.params)
+    # force a value fetch: on the remote transport block_until_ready alone
+    # does not guarantee the executions retired
+    float(jax.device_get(logs["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, logs = step(state, (x, y), 1e-3, rng)
-    jax.block_until_ready(state.params)
+    final_loss = float(jax.device_get(logs["loss"]))
     dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in bench"
     return batch_size * steps / dt
 
 

@@ -67,15 +67,27 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None):
+def main(argv=None, *, param_penalty=None, model_builder=None,
+         trainable_mask_fn=None, state_initializer=None, experiment_prefix=""):
+    """Run one training grid cell.
+
+    Hooks for the aux trainers:
+      * ``param_penalty(params) -> scalar`` — added to the scaled loss
+        (regularized trainer, torch_train_reg.py:92-97);
+      * ``model_builder(args, num_channels) -> module`` — replaces the
+        registry model (afterburner stack, torch_train_ab.py:241-250);
+      * ``trainable_mask_fn(state) -> mask tree`` — zero-grads frozen params;
+      * ``state_initializer(state, args) -> state`` — e.g. load frozen-head
+        weights into the fresh state.
+    """
     parser = build_arg_parser()
     args = parser.parse_args(argv)
     if args.dataset is None:
         parser.error("the following arguments are required: -d/--dataset")
 
     if args.experiment is None:
-        args.experiment = "%s_%s_%d_%s_%s" % (
-            args.dataset, args.model, args.patch_size,
+        args.experiment = "%s%s_%s_%d_%s_%s" % (
+            experiment_prefix, args.dataset, args.model, args.patch_size,
             "gray" if args.grayscale else "rgb", args.loss,
         )
 
@@ -98,9 +110,14 @@ def main(argv=None):
         import jax.numpy as jnp
         dtype = jnp.bfloat16
 
-    model = get_model(args.model, patch_size=args.patch_size, num_channels=num_channels)
+    if model_builder is not None:
+        model = model_builder(args, num_channels)
+    else:
+        model = get_model(args.model, patch_size=args.patch_size,
+                          num_channels=num_channels)
     if dtype is not None and hasattr(model, "dtype"):
-        model = model.replace(dtype=dtype) if hasattr(model, "replace") else model
+        import dataclasses
+        model = dataclasses.replace(model, dtype=dtype)
 
     loss_fn = get_loss(args.loss)
     tx = get_optimizer(args.optimizer, args.learning_rate)
@@ -121,7 +138,10 @@ def main(argv=None):
     state = create_train_state(
         model, tx, (args.batch_size, args.patch_size, args.patch_size, num_channels)
     )
+    if state_initializer is not None:
+        state = state_initializer(state, args)
     state = replicate(state, mesh)
+    trainable_mask = trainable_mask_fn(state) if trainable_mask_fn else None
 
     print("Train set size", len(trainset))
     print("Valid set size", len(validset))
@@ -148,7 +168,8 @@ def main(argv=None):
         )
         print("Resuming training from epoch", start_epoch, " and loss", best_loss)
 
-    train_step = make_train_step(loss_fn, metrics)
+    train_step = make_train_step(loss_fn, metrics, trainable_mask=trainable_mask,
+                                 param_penalty=param_penalty)
     eval_step = make_eval_step(loss_fn, metrics, with_pr_curve=writer is not None)
     rng = jax.random.PRNGKey(42)
 

@@ -1,0 +1,111 @@
+"""Device augmentation tests: parity with host transforms where deterministic,
+shape/mask-binarity invariants elsewhere."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.augment import device as dev
+
+
+@pytest.fixture
+def batch():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32) * 255)
+    m = jnp.asarray((rng.rand(4, 32, 32, 1) > 0.5).astype(np.float32))
+    return x, m
+
+
+def test_flips_prob1_match_numpy(batch):
+    x, m = batch
+    key = jax.random.PRNGKey(0)
+    xv, mv = dev.random_vertical_flip(key, x, m, prob=1.0)
+    np.testing.assert_array_equal(np.asarray(xv), np.asarray(x)[:, ::-1])
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(m)[:, ::-1])
+    xh, mh = dev.random_horizontal_flip(key, x, m, prob=1.0)
+    np.testing.assert_array_equal(np.asarray(xh), np.asarray(x)[:, :, ::-1])
+    xp, _ = dev.random_vertical_flip(key, x, m, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(x))
+
+
+def test_rotate90_factors(batch):
+    x, m = batch
+    # prob=1: factors drawn per-sample; just check every output is one of the
+    # four rotations of its input
+    xr, mr = dev.random_rotate90(jax.random.PRNGKey(3), x, m, prob=1.0)
+    for i in range(x.shape[0]):
+        cands = [np.rot90(np.asarray(x)[i], k) for k in range(4)]
+        assert any(np.array_equal(np.asarray(xr)[i], c) for c in cands)
+
+
+def test_affine_warp_identity(batch):
+    x, _ = batch
+    ident = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = dev.affine_warp(x[0], ident)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x[0]), atol=1e-4)
+
+
+def test_ssr_rotation_matches_cv2():
+    """90-degree rotation through the warp == cv2.warpAffine reflect101."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(1)
+    img = rng.rand(33, 33, 3).astype(np.float32)
+    mat_inv = dev._ssr_inverse_matrix(30.0, 1.1, 2.0, -3.0, 33, 33)
+    got = np.asarray(dev.affine_warp(jnp.asarray(img), mat_inv))
+
+    fwd = cv2.getRotationMatrix2D((33 / 2, 33 / 2), -30.0, 1.1)  # cv2 rotates CCW for +angle
+    fwd[0, 2] += 2.0
+    fwd[1, 2] += -3.0
+    exp = cv2.warpAffine(img, fwd, (33, 33), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT_101)
+    # interior parity (borders differ slightly in reflect handling)
+    np.testing.assert_allclose(got[4:-4, 4:-4], exp[4:-4, 4:-4], atol=2e-2)
+
+
+def test_random_crop_shapes_and_content(batch):
+    x, m = batch
+    xc, mc = dev.random_crop(jax.random.PRNGKey(1), x, m, 16)
+    assert xc.shape == (4, 16, 16, 3) and mc.shape == (4, 16, 16, 1)
+    # each crop must be a contiguous window of the source
+    src = np.asarray(x[0])
+    crop = np.asarray(xc[0])
+    found = False
+    for i in range(17):
+        for j in range(17):
+            if np.array_equal(src[i:i + 16, j:j + 16], crop):
+                found = True
+    assert found
+
+
+def test_photometric_ranges(batch):
+    x, _ = batch
+    key = jax.random.PRNGKey(2)
+    for fn in [dev.random_brightness, dev.random_contrast, dev.random_saturation]:
+        out = fn(key, x, prob=1.0)
+        assert out.shape == x.shape
+        assert float(out.min()) >= 0.0
+        assert float(out.max()) <= float(x.max()) + 1e-3
+    g = dev.random_grayscale(key, x, prob=1.0)
+    np.testing.assert_allclose(np.asarray(g[..., 0]), np.asarray(g[..., 1]), atol=1e-5)
+
+
+def test_dsb_pipeline_jits_and_binarizes(batch):
+    x, m = batch
+    fn = jax.jit(dev.dsb2018_train_pipeline)
+    xo, mo = fn(jax.random.PRNGKey(0), x, m)
+    assert xo.shape == x.shape and mo.shape == m.shape
+    vals = np.unique(np.asarray(mo))
+    assert set(vals) <= {0.0, 1.0}
+    # different key -> different augmentation
+    xo2, _ = fn(jax.random.PRNGKey(1), x, m)
+    assert not np.allclose(np.asarray(xo), np.asarray(xo2))
+
+
+def test_normalize_matches_host(batch):
+    x, _ = batch
+    from segtpu.augment.host import NormalizeImage
+    got = np.asarray(dev.normalize(x))
+    exp = NormalizeImage()(np.asarray(x))
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
