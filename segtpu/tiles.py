@@ -121,9 +121,20 @@ class ImageSlicer:
 
     def split_batch(self, image: np.ndarray) -> np.ndarray:
         """All tiles stacked as one (T, tile, tile, C) batch — the input to
-        batched device inference."""
-        tiles = self.split(image if image.ndim == 3 else image[..., None])
-        return np.stack(tiles)
+        batched device inference. Uses the native threaded extractor
+        (segtpu/native/tileio.cpp) when available: one pass, virtual
+        reflect-101 borders, no padded intermediate copy."""
+        if image.ndim == 2:
+            image = image[..., None]
+        from segtpu import native
+
+        xs = [c[0] for c in self.crops]
+        ys = [c[1] for c in self.crops]
+        out = native.extract_tiles(image, xs, ys, self.tile_size,
+                                   self.margin_top, self.margin_left)
+        if out is not None:
+            return out
+        return np.stack(self.split(image))
 
     def cut_patch(self, image: np.ndarray, slice_index: int) -> np.ndarray:
         """Cut one tile lazily (reference cut_patch, tiles.py:119-135)."""
@@ -147,16 +158,27 @@ class ImageSlicer:
 
         channels = 1 if tiles[0].ndim == 2 else tiles[0].shape[2]
         target = (*self.target_shape, channels)
-
-        image = np.zeros(target, dtype=np.float64)
-        norm = np.zeros(target, dtype=np.float64)
         w = self.compute_weight(self.tile_size)
-        w3 = np.repeat(w[:, :, None], channels, axis=2)
 
-        for tile, (x, y, tw, th) in zip(tiles, self.crops):
-            t = tile if tile.ndim == 3 else tile[..., None]
-            image[y:y + th, x:x + tw] += t * w3
-            norm[y:y + th, x:x + tw] += w3
+        from segtpu import native
+
+        stacked = np.asarray(
+            [t if t.ndim == 3 else t[..., None] for t in tiles], np.float32
+        )
+        merged = native.merge_tiles(
+            stacked, [c[0] for c in self.crops], [c[1] for c in self.crops],
+            w, target[0], target[1],
+        )
+        if merged is not None:
+            image, norm = merged
+        else:
+            image = np.zeros(target, dtype=np.float64)
+            norm = np.zeros(target, dtype=np.float64)
+            w3 = np.repeat(np.asarray(w)[:, :, None], channels, axis=2)
+            for tile, (x, y, tw, th) in zip(tiles, self.crops):
+                t = tile if tile.ndim == 3 else tile[..., None]
+                image[y:y + th, x:x + tw] += t * w3
+                norm[y:y + th, x:x + tw] += w3
 
         norm = np.clip(norm, a_min=np.finfo(norm.dtype).eps, a_max=None)
         out = np.divide(image, norm).astype(dtype)
