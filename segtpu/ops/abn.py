@@ -41,17 +41,27 @@ ACT_LEAKY_RELU = "leaky_relu"
 ACT_ELU = "elu"
 ACT_NONE = "none"
 
-# Toggled by models/harness; resolved lazily so importing on CPU is cheap.
-USE_PALLAS: Optional[bool] = None  # None = auto (TPU only)
+# Measured on TPU v5e (16x128x128x64 fwd+bwd): the XLA composite runs 1.7ms
+# vs 3.3ms for the two-pallas_call pipeline — XLA already fuses the
+# elementwise+reduction pattern optimally and the extra kernel boundaries
+# cost a full HBM round trip. The Pallas kernels stay available for study /
+# future fusion work; default OFF. (The inplace-abn memory saving comes from
+# the custom VJP below and applies on both paths.)
+USE_PALLAS: Optional[bool] = None  # None = off; True forces the Pallas path
 
 
 def _pallas_enabled() -> bool:
     if USE_PALLAS is not None:
         return USE_PALLAS
+    return False
+
+
+def _pallas_interpret() -> bool:
+    """Interpret mode lets the kernels run (and be tested) on CPU."""
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() != "tpu"
     except Exception:
-        return False
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +152,7 @@ def _abn_norm_act_pallas(x2d, scale, shift, activation: str, slope: float):
         ],
         out_specs=pl.BlockSpec((tile_m, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, c), x2d.dtype),
+        interpret=_pallas_interpret(),
     )(x2d, scale.reshape(1, c), shift.reshape(1, c))
 
 
@@ -211,6 +222,7 @@ def _abn_bwd_pallas(z2d, g2d, gamma, beta, rstd, activation: str, slope: float):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=_pallas_interpret(),
     )(z2d, g2d, inv_gamma, beta_r)
     return edz.reshape(c), eydz.reshape(c)
 

@@ -160,3 +160,27 @@ def test_sync_abn_gradients_match_global():
     gx_g = jax.grad(loss_global)(x, gamma, beta)
     gx_s = jax.grad(loss_sharded)(x, gamma, beta)
     np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_g), atol=2e-4)
+
+
+@pytest.mark.parametrize("activation", ["leaky_relu", "elu", "none"])
+def test_pallas_kernels_match_xla_path(xgb, activation):
+    """Force the Pallas kernels (interpret mode on CPU) and compare against
+    the XLA composite path — forward and gradients."""
+    x, gamma, beta = xgb
+
+    def loss(x, g, b):
+        z, _, _ = abn_ops.fused_abn(x, g, b, activation=activation)
+        return jnp.sum(z * jnp.sin(z))
+
+    try:
+        abn_ops.USE_PALLAS = True
+        vp = loss(x, gamma, beta)
+        gp = jax.grad(loss, argnums=(0, 1, 2))(x, gamma, beta)
+    finally:
+        abn_ops.USE_PALLAS = None
+    vx = loss(x, gamma, beta)
+    gx = jax.grad(loss, argnums=(0, 1, 2))(x, gamma, beta)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-4)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
