@@ -118,3 +118,21 @@ def cut_dataset_in_patches(data_dir: str, output_dir: str, patch_size: int):
             cv2.imwrite(os.path.join(out_img, f"{basename}_{index}.tif"), patch)
         for index, patch in enumerate(slicer.split(mask)):
             cv2.imwrite(os.path.join(out_msk, f"{basename}_{index}.tif"), patch)
+
+
+def compute_mean_std(image_fnames):
+    """Dataset channel statistics (reference Inria.py:14-31): per-image
+    mean/var of 1/255-scaled pixels, averaged over images — including the
+    reference's quirk of returning sqrt of the *sum* (not mean) of
+    variances."""
+    one_over_255 = 1.0 / 255.0
+    global_mean = np.zeros(3, dtype=np.float64)
+    global_var = np.zeros(3, dtype=np.float64)
+    n_items = len(image_fnames)
+    for fname in image_fnames:
+        x = read_rgb(fname) * one_over_255
+        mean = x.reshape(-1, x.shape[-1]).mean(axis=0)
+        std = x.reshape(-1, x.shape[-1]).std(axis=0)
+        global_mean += mean
+        global_var += std ** 2
+    return global_mean / n_items, np.sqrt(global_var)

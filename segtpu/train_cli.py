@@ -64,6 +64,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Skip per-epoch image grids and weight histograms")
     parser.add_argument("--no-tensorboard", action="store_true")
     parser.add_argument("--experiments-dir", type=str, default="experiments")
+    parser.add_argument("--snapshot-every", type=int, default=1,
+                        help="Save best/last checkpoints every N epochs "
+                             "(0 disables; device->host pulls can dominate "
+                             "on slow transports)")
     return parser
 
 
@@ -205,12 +209,18 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
 
         print(epoch, summary)
 
+        snapshot_due = args.snapshot_every > 0 and (
+            (epoch + 1) % args.snapshot_every == 0 or epoch == args.epochs - 1
+        )
         if valid_loss.avg < best_loss:
-            save_snapshot(state, valid_loss.avg, epoch, train_history, checkpoint_filename)
             best_loss = valid_loss.avg
-            print("Checkpoint saved", epoch, best_loss)
-
-        save_snapshot(state, valid_loss.avg, epoch, train_history, snapshot_filename)
+            if snapshot_due:
+                save_snapshot(state, valid_loss.avg, epoch, train_history,
+                              checkpoint_filename)
+                print("Checkpoint saved", epoch, best_loss)
+        if snapshot_due:
+            save_snapshot(state, valid_loss.avg, epoch, train_history,
+                          snapshot_filename)
 
     print("Training is finished...")
 

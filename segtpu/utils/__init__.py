@@ -90,3 +90,26 @@ def make_grid(images: np.ndarray, nrow: int = 8, pad: int = 2, normalize: bool =
         x0 = cl * (w + pad) + pad
         grid[y0:y0 + h, x0:x0 + w] = images[i]
     return grid
+
+
+def show_landmarks_batch(data, out: str = None):
+    """Visualize a batch of images + masks as two grids
+    (reference lib/common.py:25-36). Headless: saves to ``out`` if given."""
+    import matplotlib
+    if out:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x, y = data
+    grid_x = make_grid(np.asarray(x))
+    grid_y = make_grid(np.asarray(y))
+    f, (ax1, ax2) = plt.subplots(2, 1)
+    ax1.imshow(np.squeeze(grid_x))
+    ax2.imshow(np.squeeze(grid_y))
+    plt.title("Batch from dataloader")
+    if out:
+        f.savefig(out, dpi=120)
+        plt.close(f)
+    else:
+        plt.show()
+    return f
