@@ -41,6 +41,17 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def fit_data_parallel(batch_size: int, available: Optional[int] = None) -> int:
+    """Largest device count <= available that divides the global batch (the
+    data axis size must divide the sharded dimension)."""
+    if available is None:
+        available = len(jax.devices())
+    for n in range(min(batch_size, available), 0, -1):
+        if batch_size % n == 0:
+            return n
+    return 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

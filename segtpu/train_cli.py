@@ -136,7 +136,12 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         trainset = Subset(trainset, args.steps * args.batch_size)
         validset = Subset(validset, max(args.steps // 4, 1) * args.batch_size)
 
-    mesh = make_mesh(model_parallel=args.model_parallel)
+    from segtpu.parallel import fit_data_parallel
+    n_data = fit_data_parallel(
+        args.batch_size, jax.device_count() // args.model_parallel
+    )
+    mesh = make_mesh(n_devices=n_data * args.model_parallel,
+                     model_parallel=args.model_parallel)
     sharding = batch_sharding(mesh)
 
     state = create_train_state(

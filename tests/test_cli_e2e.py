@@ -1,0 +1,72 @@
+"""End-to-end CLI tests (in-process main()): train, resume, reg, afterburner.
+
+All on the CPU mesh with tiny step counts; marked slow.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _common(tmp_path, extra):
+    return [
+        "-d", "shapes", "-l", "bce", "-o", "adam", "-b", "4", "-p", "32",
+        "-e", "1", "-s", "2", "-lr", "1e-3",
+        "--no-tensorboard", "--light-logging",
+        "--experiments-dir", str(tmp_path / "experiments"),
+    ] + extra
+
+
+def test_train_cli_end_to_end(tmp_path):
+    from segtpu.train_cli import main
+
+    history = main(_common(tmp_path, ["-m", "unet"]))
+    assert history["epoch"] == [0]
+    assert np.isfinite(history["loss"][0])
+    exp_dir = tmp_path / "experiments" / "shapes" / "bce" / "shapes_unet_32_rgb_bce"
+    assert (exp_dir / "arguments.txt").exists()
+    csv = pd.read_csv(exp_dir / "shapes_unet_32_rgb_bce.csv")
+    assert list(csv.columns) == [
+        "epoch", "loss", "val_loss", "iou", "accuracy", "val_iou", "val_accuracy"
+    ]
+    assert (exp_dir / "unet_checkpoint.ckpt" / "state.msgpack").exists()
+    assert (exp_dir / "unet_snapshot.ckpt" / "state.msgpack").exists()
+
+
+def test_train_cli_resume(tmp_path):
+    from segtpu.train_cli import main
+
+    main(_common(tmp_path, ["-m", "unet"]))
+    args = _common(tmp_path, ["-m", "unet", "-r"])
+    args[args.index("-e") + 1] = "2"  # resume starts at epoch 1
+    history = main(args)
+    assert history["epoch"] == [0, 1]
+
+
+def test_train_reg_cli(tmp_path):
+    from segtpu.train_reg_cli import main
+
+    history = main(_common(tmp_path, ["-m", "unet"]))
+    assert np.isfinite(history["loss"][0])
+
+
+def test_train_ab_cli(tmp_path):
+    """Head checkpoint -> afterburner fine-tune (uses unet as the head to
+    stay CPU-fast; the reference hardcodes linknet34)."""
+    from segtpu.train_cli import main as train_main
+    from segtpu.train_ab_cli import main as ab_main
+
+    train_main(_common(tmp_path, ["-m", "unet"]))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # auto_file searches recursively from cwd
+    try:
+        history = ab_main(_common(tmp_path, ["-m", "unet"]))
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(history["loss"][0])
+    ab_dir = tmp_path / "experiments" / "shapes" / "bce" / "ab_shapes_unet_32_rgb_bce"
+    assert ab_dir.exists()
