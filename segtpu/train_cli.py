@@ -123,6 +123,21 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         import dataclasses
         model = dataclasses.replace(model, dtype=dtype)
 
+    if writer is not None:
+        # model structure summary (the add_graph equivalent,
+        # reference torch_train.py:370-371)
+        try:
+            import jax.numpy as jnp
+            from flax import linen as fnn
+            table = fnn.tabulate(
+                model, jax.random.PRNGKey(0),
+                compute_flops=False, compute_vjp_flops=False,
+            )(jnp.zeros((1, args.patch_size, args.patch_size, num_channels)),
+              train=False)
+            writer.add_text("model/graph", f"```\n{table}\n```")
+        except Exception:
+            pass
+
     loss_fn = get_loss(args.loss)
     tx = get_optimizer(args.optimizer, args.learning_rate)
     metrics = default_metrics()
