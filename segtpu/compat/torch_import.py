@@ -78,9 +78,67 @@ def _transplant_zf_unet(sd, params, stats):
     params["conv_final"]["Conv_0"] = _conv(sd, "conv_final")
 
 
+def _transplant_resnet_encoder(sd, prefix_map, params, stats, layers,
+                               bottleneck=False):
+    """Map torchvision-style resnet keys (with arbitrary name prefixes, e.g.
+    LinkNet34's firstconv/encoderN attributes) into a ResNetEncoder tree."""
+    params["conv1"]["Conv_0"] = _conv(sd, prefix_map["conv1"])
+    p, s = _bn(sd, prefix_map["bn1"])
+    params["bn1"], stats["bn1"] = p, s
+
+    n_convs = 3 if bottleneck else 2
+    for li, n_blocks in enumerate(layers):
+        layer = li + 1
+        lp = prefix_map[f"layer{layer}"]
+        for b in range(n_blocks):
+            tp = f"{lp}.{b}"
+            name = f"layer{layer}_{b}"
+            for ci in range(1, n_convs + 1):
+                params[name][f"conv{ci}"]["Conv_0"] = _conv(sd, f"{tp}.conv{ci}")
+                p, s = _bn(sd, f"{tp}.bn{ci}")
+                params[name][f"bn{ci}"], stats[name][f"bn{ci}"] = p, s
+            if f"{tp}.downsample.0.weight" in sd:
+                params[name]["downsample_conv"]["Conv_0"] = _conv(
+                    sd, f"{tp}.downsample.0")
+                p, s = _bn(sd, f"{tp}.downsample.1")
+                params[name]["downsample_bn"], stats[name]["downsample_bn"] = p, s
+
+
+def _transplant_linknet34(sd, params, stats):
+    """LinkNet34 (reference lib/models/linknet.py): resnet34 encoder under
+    firstconv/firstbn/encoder1-4, InPlaceABN decoders, deconv head."""
+    enc_map = {"conv1": "firstconv", "bn1": "firstbn"}
+    for i in range(1, 5):
+        enc_map[f"layer{i}"] = f"encoder{i}"
+    _transplant_resnet_encoder(sd, enc_map, params["encoder"],
+                               stats["encoder"], (3, 4, 6, 3))
+
+    def abn(node, snode, key, tp):
+        # reference InPlaceABN module stores weight/bias + running buffers
+        node[key] = {"scale": jnp.asarray(np.asarray(sd[tp + ".weight"])),
+                     "bias": jnp.asarray(np.asarray(sd[tp + ".bias"]))}
+        snode[key] = {"mean": jnp.asarray(np.asarray(sd[tp + ".running_mean"])),
+                      "var": jnp.asarray(np.asarray(sd[tp + ".running_var"]))}
+
+    for i in range(1, 5):
+        dp, ds = params[f"decoder{i}"], stats[f"decoder{i}"]
+        tp = f"decoder{i}"
+        dp["conv1"]["Conv_0"] = _conv(sd, f"{tp}.conv1")
+        abn(dp, ds, "n1_abn", f"{tp}.abn1")
+        dp["deconv2"]["ConvTranspose_0"] = _deconv(sd, f"{tp}.deconv2")
+        abn(dp, ds, "n2_abn", f"{tp}.abn2")
+        dp["conv3"]["Conv_0"] = _conv(sd, f"{tp}.conv3")
+        abn(dp, ds, "n3_abn", f"{tp}.abn3")
+
+    params["finaldeconv1"]["ConvTranspose_0"] = _deconv(sd, "finaldeconv1")
+    params["finalconv2"]["Conv_0"] = _conv(sd, "finalconv2")
+    params["finalconv3"]["Conv_0"] = _conv(sd, "finalconv3")
+
+
 _TRANSPLANTS = {
     "unet": _transplant_unet,
     "zf_unet": _transplant_zf_unet,
+    "linknet34": _transplant_linknet34,
 }
 
 

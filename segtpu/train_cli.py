@@ -68,6 +68,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Save best/last checkpoints every N epochs "
                              "(0 disables; device->host pulls can dominate "
                              "on slow transports)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of the first "
+                             "training epoch into this directory")
     return parser
 
 
@@ -206,6 +209,10 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             if writer is not None:
                 writer.add_scalar("train/lr", lr, global_step=epoch)
 
+        profiling = args.profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
+
         trainloader.set_epoch(epoch)
         state, train_loss, train_scores = run_train_epoch(
             train_step, state, trainloader, lr, rng, epoch, metric_names,
@@ -213,6 +220,10 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             log_images=not args.light_logging,
             log_histograms=not args.light_logging,
         )
+        if profiling:
+            jax.profiler.stop_trace()
+            print("profiler trace written to", args.profile_dir)
+
         valid_loss, valid_scores = run_validate_epoch(
             eval_step, state, validloader, epoch, metric_names,
             writer=writer, sharding=sharding,

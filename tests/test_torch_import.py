@@ -76,3 +76,73 @@ def test_unknown_model_mapping_raises():
     v = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
     with pytest.raises(KeyError):
         transplant_state_dict("gcn", {}, v)
+
+
+def test_linknet34_transplant_roundtrip():
+    """No runnable torch LinkNet34 here (its CUDA inplace_abn ext is absent
+    upstream too), so verify the mapping by round-trip: synthesize a torch
+    state_dict FROM our initialized tree (inverse transposes), transplant it
+    back, and require exact equality with the original params/stats."""
+    import numpy as np
+    from segtpu.compat import torch_import as ti
+
+    ours = get_model("linknet34")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = ours.init(jax.random.PRNGKey(0), x, train=False)
+
+    sd = {}
+
+    def put_conv(prefix, node):
+        k = np.asarray(node["kernel"])  # HWIO
+        sd[prefix + ".weight"] = np.transpose(k, (3, 2, 0, 1))  # OIHW
+        if "bias" in node:
+            sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+    def put_deconv(prefix, node):
+        k = np.asarray(node["kernel"])  # (kh,kw,out,in)
+        sd[prefix + ".weight"] = np.transpose(k, (3, 2, 0, 1))  # (in,out,kh,kw)
+        if "bias" in node:
+            sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+    def put_bn(prefix, p, s):
+        sd[prefix + ".weight"] = np.asarray(p["scale"])
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+        sd[prefix + ".running_mean"] = np.asarray(s["mean"])
+        sd[prefix + ".running_var"] = np.asarray(s["var"])
+
+    P, S = variables["params"], variables["batch_stats"]
+    put_conv("firstconv", P["encoder"]["conv1"]["Conv_0"])
+    put_bn("firstbn", P["encoder"]["bn1"], S["encoder"]["bn1"])
+    for li, nb in enumerate((3, 4, 6, 3)):
+        for b in range(nb):
+            name = f"layer{li+1}_{b}"
+            tp = f"encoder{li+1}.{b}"
+            for ci in (1, 2):
+                put_conv(f"{tp}.conv{ci}", P["encoder"][name][f"conv{ci}"]["Conv_0"])
+                put_bn(f"{tp}.bn{ci}", P["encoder"][name][f"bn{ci}"],
+                       S["encoder"][name][f"bn{ci}"])
+            if "downsample_conv" in P["encoder"][name]:
+                put_conv(f"{tp}.downsample.0",
+                         P["encoder"][name]["downsample_conv"]["Conv_0"])
+                put_bn(f"{tp}.downsample.1",
+                       P["encoder"][name]["downsample_bn"],
+                       S["encoder"][name]["downsample_bn"])
+    for i in range(1, 5):
+        d, ds_ = P[f"decoder{i}"], S[f"decoder{i}"]
+        put_conv(f"decoder{i}.conv1", d["conv1"]["Conv_0"])
+        put_bn(f"decoder{i}.abn1", d["n1_abn"], ds_["n1_abn"])
+        put_deconv(f"decoder{i}.deconv2", d["deconv2"]["ConvTranspose_0"])
+        put_bn(f"decoder{i}.abn2", d["n2_abn"], ds_["n2_abn"])
+        put_conv(f"decoder{i}.conv3", d["conv3"]["Conv_0"])
+        put_bn(f"decoder{i}.abn3", d["n3_abn"], ds_["n3_abn"])
+    put_deconv("finaldeconv1", P["finaldeconv1"]["ConvTranspose_0"])
+    put_conv("finalconv2", P["finalconv2"]["Conv_0"])
+    put_conv("finalconv3", P["finalconv3"]["Conv_0"])
+
+    params, stats = transplant_state_dict("linknet34", sd, variables)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
+                    jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
