@@ -59,7 +59,8 @@ def predict_full(image: np.ndarray, predict_fn: Callable, test_transform=None,
 
 def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
                   patch_size: int = 224, batch_size: int = 8,
-                  tta: bool = True, weight: str = "pyramid") -> np.ndarray:
+                  tta: bool = True, weight: str = "pyramid",
+                  mesh=None) -> np.ndarray:
     """Sliding-window tiled prediction with weighted fusion + D4 TTA
     (reference predict_tiled, inria_submit.py:237-257: step = patch/2,
     pyramid weights).
@@ -81,6 +82,13 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
 
     group = 8 if tta else 1
     chunk = max(1, batch_size // group) if tta else batch_size
+    if mesh is not None:
+        # tile-parallel over the mesh's data axis (SURVEY.md §2.8: tiles are
+        # the sharded axis of the long-input analogue): round the chunk up to
+        # a multiple of the axis size so each device owns an equal shard
+        n_data = mesh.shape.get("data", 1)
+        chunk = max(chunk, n_data)
+        chunk += (-chunk) % n_data
     n_chunks = -(-n_tiles // chunk)
     pad = n_chunks * chunk - n_tiles
     if pad:
@@ -88,7 +96,17 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
             [tiles, np.zeros((pad, *tiles.shape[1:]), tiles.dtype)]
         )
 
-    preds = _run_tiles(predict_fn, tta, jnp.asarray(tiles), n_chunks, chunk)
+    device_tiles = jnp.asarray(tiles)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        device_tiles = jax.device_put(
+            device_tiles, NamedSharding(mesh, P(None))
+        )
+        preds = _run_tiles_sharded(predict_fn, tta, device_tiles, n_chunks,
+                                   chunk, mesh)
+    else:
+        preds = _run_tiles(predict_fn, tta, device_tiles, n_chunks, chunk)
     merged = slicer.merge_device(preds[:n_tiles])
     return np.asarray(merged)[..., 0]
 
@@ -99,6 +117,29 @@ def _run_tiles(predict_fn, tta: bool, tiles, n_chunks: int, chunk: int):
 
     def body(c):
         x = tta_d4_aug_batch(c) if tta else c
+        y = predict_fn(x)
+        return tta_d4_deaug_batch(y) if tta else y
+
+    out = jax.lax.map(body, chunks)
+    return out.reshape(n_chunks * chunk, *out.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
+def _run_tiles_sharded(predict_fn, tta: bool, tiles, n_chunks: int,
+                       chunk: int, mesh):
+    """Tile-parallel variant: each scanned chunk is sharded over the mesh's
+    data axis, so every chip processes chunk/n_data tiles per step and XLA
+    keeps the whole sweep collective-free (no cross-tile dependencies)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunks = tiles.reshape(n_chunks, chunk, *tiles.shape[1:])
+    shard = NamedSharding(mesh, P(None, "data"))
+    chunks = jax.lax.with_sharding_constraint(chunks, shard)
+
+    def body(c):
+        x = tta_d4_aug_batch(c) if tta else c
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data")))
         y = predict_fn(x)
         return tta_d4_deaug_batch(y) if tta else y
 

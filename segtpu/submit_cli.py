@@ -42,6 +42,9 @@ def build_arg_parser():
     parser.add_argument("-f", "--full", action="store_true")
     parser.add_argument("--no-tta", action="store_true")
     parser.add_argument("--submits-dir", type=str, default="submits")
+    parser.add_argument("--tile-parallel", action="store_true",
+                        help="Shard the tile batch over all devices "
+                             "(data-parallel tiled inference)")
     return parser
 
 
@@ -78,6 +81,12 @@ def main(argv=None):
     predict_step = make_predict_step()
     predict_fn = lambda x: predict_step(state, x)
 
+    mesh = None
+    if args.tile_parallel:
+        from segtpu.parallel import make_mesh, replicate
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+
     images = sorted(find_in_dir(os.path.join(args.data_dir, "images")))
     for test_fname in tqdm(images, total=len(images)):
         image = read_rgb(test_fname)
@@ -89,7 +98,7 @@ def main(argv=None):
         else:
             mask = predict_tiled(image, predict_fn, test_transform,
                                  args.patch_size, args.batch_size,
-                                 tta=not args.no_tta)
+                                 tta=not args.no_tta, mesh=mesh)
 
         mask = ((mask > 0.5) * 255).astype(np.uint8)
         cv2.imwrite(os.path.join(experiment_dir, basename + ".tif"), mask)

@@ -92,6 +92,9 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     if args.dataset is None:
         parser.error("the following arguments are required: -d/--dataset")
 
+    from segtpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     if args.experiment is None:
         args.experiment = "%s%s_%s_%d_%s_%s" % (
             experiment_prefix, args.dataset, args.model, args.patch_size,
@@ -228,6 +231,17 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             eval_step, state, validloader, epoch, metric_names,
             writer=writer, sharding=sharding,
         )
+
+        # failure tripwire (SURVEY.md §5: the reference only *logs* grad
+        # absmax; abort loudly on divergence instead, keeping the last
+        # snapshot for postmortem)
+        if not np.isfinite(train_loss.avg):
+            save_snapshot(state, float("inf"), epoch, train_history,
+                          snapshot_filename)
+            raise RuntimeError(
+                f"non-finite training loss at epoch {epoch}; "
+                f"snapshot saved to {snapshot_filename}"
+            )
 
         summary = {"epoch": epoch, "loss": train_loss.avg, "val_loss": valid_loss.avg}
         for key, value in train_scores.items():

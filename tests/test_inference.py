@@ -93,3 +93,18 @@ def test_submit_cli_end_to_end(tmp_path):
     mask = cv2.imread(str(out_dir / "austin1.tif"), cv2.IMREAD_GRAYSCALE)
     assert mask.shape == (96, 96)
     assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_predict_tiled_mesh_matches_single_device():
+    """Tile-parallel inference over the 8-device mesh == single-device."""
+    from segtpu.parallel import make_mesh
+
+    rng = np.random.RandomState(5)
+    image = rng.rand(100, 100, 3).astype(np.float32)
+    single = predict_tiled(image, _identity_predict, patch_size=64,
+                           batch_size=8, tta=True)
+    mesh = make_mesh()
+    sharded = predict_tiled(image, _identity_predict, patch_size=64,
+                            batch_size=8, tta=True, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    np.testing.assert_allclose(sharded, image.mean(-1), atol=1e-4)
