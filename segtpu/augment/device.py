@@ -289,6 +289,17 @@ def make_binary(m):
 # Prebuilt pipelines (jitted once, keyed per step)
 # ---------------------------------------------------------------------------
 
+def shapes_train_pipeline(key, x, m):
+    """Device equivalent of the SHAPES train transform
+    (shapes.py:48: ImageOnly(NormalizeImage) only)."""
+    return normalize(x), m
+
+
+def eval_normalize(x, m, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+    """Deterministic eval-side normalize (for raw loaders)."""
+    return normalize(x, mean=mean, std=std), m
+
+
 def dsb2018_train_pipeline(key, x, m):
     """Device equivalent of the reference DSB2018Sliced train transform
     (dsb2018.py:76-84): normalize -> rot90 -> vflip -> hflip -> SSR(15) ->
@@ -301,6 +312,24 @@ def dsb2018_train_pipeline(key, x, m):
     x, m = shift_scale_rotate(k[3], x, m, rotate_limit=15.0)
     m = make_binary(m)
     return x, m
+
+
+def get_device_pipelines(dataset_name: str):
+    """(train_fn(key,x,m), eval_fn(x,m)) for a dataset whose loaders yield
+    RAW pixels, or None when the dataset has no device pipeline."""
+    name = dataset_name.lower()
+    if name == "shapes":
+        return shapes_train_pipeline, lambda x, m: (normalize(x), m)
+    if name == "dsb2018":
+        return dsb2018_train_pipeline, lambda x, m: (normalize(x), make_binary(m))
+    if name.startswith("inria"):
+        from segtpu.data.inria import INRIA_MEAN, INRIA_STD
+        return (
+            inria_train_pipeline,
+            lambda x, m: (normalize(x, mean=INRIA_MEAN, std=INRIA_STD),
+                          make_binary(m)),
+        )
+    return None
 
 
 def inria_train_pipeline(key, x, m, grayscale: bool = False):

@@ -68,6 +68,7 @@ def make_train_step(
     trainable_mask: Any = None,
     param_penalty: Optional[Callable] = None,
     donate: bool = True,
+    augment_fn: Optional[Callable] = None,
 ):
     """Build the jitted train step.
 
@@ -76,12 +77,17 @@ def make_train_step(
     reference torch_train_ab.py:245-246).
     ``param_penalty``: optional fn(params) -> scalar added to the *scaled*
     loss (L1/L2 regularized trainer, reference torch_train_reg.py:92-97).
+    ``augment_fn``: optional on-device augmentation ``(key, x, y) -> (x, y)``
+    fused into the same compiled program (segtpu.augment.device pipelines).
     """
     metrics = metrics or {}
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, lr, rng):
         x, y = batch
+        if augment_fn is not None:
+            aug_rng = jax.random.fold_in(jax.random.fold_in(rng, 7), state.step)
+            x, y = augment_fn(aug_rng, x, y)
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def scaled_loss(params):
@@ -130,14 +136,19 @@ def make_eval_step(
     loss_fn: Callable,
     metrics: Optional[Dict[str, Callable]] = None,
     with_pr_curve: bool = False,
+    transform_fn: Optional[Callable] = None,
 ):
     """Jitted eval step: loss + metrics (+ optional PR-curve confusion counts)
-    using running BN statistics (reference validate(), torch_train.py:240-305)."""
+    using running BN statistics (reference validate(), torch_train.py:240-305).
+    ``transform_fn``: optional deterministic on-device input transform
+    ``(x, y) -> (x, y)`` (e.g. normalization when the loader yields raw)."""
     metrics = metrics or {}
 
     @jax.jit
     def eval_step(state: TrainState, batch):
         x, y = batch
+        if transform_fn is not None:
+            x, y = transform_fn(x, y)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logits = state.apply_fn(variables, x, train=False)
         logs = {"loss": loss_fn(logits, y)}

@@ -71,6 +71,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the first "
                              "training epoch into this directory")
+    parser.add_argument("--device-augs", action="store_true",
+                        help="Run augmentation on the TPU inside the compiled "
+                             "train step (loaders yield raw pixels); "
+                             "supported for shapes and dsb2018")
     return parser
 
 
@@ -148,10 +152,28 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     tx = get_optimizer(args.optimizer, args.learning_rate)
     metrics = default_metrics()
 
-    trainset, validset, num_classes = get_dataset(
-        args.dataset, args.data_dir, grayscale=args.grayscale,
-        patch_size=args.patch_size, keep_in_mem=args.memory,
-    )
+    augment_fn = eval_transform_fn = None
+    if args.device_augs:
+        from segtpu.augment.device import get_device_pipelines
+        pipelines = get_device_pipelines(args.dataset)
+        if pipelines is None:
+            raise SystemExit(f"--device-augs not supported for {args.dataset}")
+        augment_fn, eval_transform_fn = pipelines
+        if args.dataset.lower() == "shapes":
+            from segtpu.data.shapes import ShapesDataset
+            trainset = ShapesDataset(1024, args.patch_size, normalize=False)
+            validset = ShapesDataset(128, args.patch_size, seed=1_000_000,
+                                     normalize=False)
+            num_classes = 1
+        else:
+            raise SystemExit(
+                "--device-augs raw loaders currently wired for shapes only"
+            )
+    else:
+        trainset, validset, num_classes = get_dataset(
+            args.dataset, args.data_dir, grayscale=args.grayscale,
+            patch_size=args.patch_size, keep_in_mem=args.memory,
+        )
     if args.steps > 0:
         from segtpu.data.pipeline import Subset
         trainset = Subset(trainset, args.steps * args.batch_size)
@@ -199,8 +221,10 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         print("Resuming training from epoch", start_epoch, " and loss", best_loss)
 
     train_step = make_train_step(loss_fn, metrics, trainable_mask=trainable_mask,
-                                 param_penalty=param_penalty)
-    eval_step = make_eval_step(loss_fn, metrics, with_pr_curve=writer is not None)
+                                 param_penalty=param_penalty,
+                                 augment_fn=augment_fn)
+    eval_step = make_eval_step(loss_fn, metrics, with_pr_curve=writer is not None,
+                               transform_fn=eval_transform_fn)
     rng = jax.random.PRNGKey(42)
 
     metric_names = list(metrics)
