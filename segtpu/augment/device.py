@@ -246,9 +246,10 @@ def random_contrast(key, x, limit: float = 0.1, prob: float = 0.5):
     alpha = 1.0 + limit * jax.random.uniform(k2, (n,), minval=-1, maxval=1)
     alpha = jnp.where(fire, alpha, 1.0)[:, None, None, None]
     gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+    # the reference adds the scalar 3*(1-alpha)*mean(gray) (aug:402-405)
     gray_mean = 3.0 * jnp.mean(gray, axis=(1, 2))[:, None, None, None]
     maxval = jnp.max(x, axis=(1, 2, 3), keepdims=True)
-    return jnp.clip(alpha * x + (1.0 - alpha) * gray_mean / 3.0 * 3.0, 0, maxval)
+    return jnp.clip(alpha * x + (1.0 - alpha) * gray_mean, 0, maxval)
 
 
 def random_saturation(key, x, limit: float = 0.3, prob: float = 0.5):

@@ -12,7 +12,7 @@ TPU-native redesign of the reference's per-tile host loop:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

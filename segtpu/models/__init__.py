@@ -53,18 +53,12 @@ def get_model(model_name: str, patch_size: int = 224, num_channels: int = 3):
     """name -> constructed Flax module (reference torch_train.py:100-148)."""
     name = model_name.lower()
     if name not in _REGISTRY:
-        try:
-            _lazy_registrations()
-        except ImportError:
-            pass
+        _lazy_registrations()
     if name not in _REGISTRY:
         raise ValueError(model_name)
     return _REGISTRY[name](patch_size, num_channels)
 
 
 def model_names():
-    try:
-        _lazy_registrations()
-    except ImportError:
-        pass
+    _lazy_registrations()
     return sorted(_REGISTRY)

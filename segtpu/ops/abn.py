@@ -22,8 +22,8 @@ TPU-native rebuild:
     ``axis_name`` is supported for ``shard_map``/``pmap`` contexts where
     reductions are per-shard (``lax.pmean`` — SURVEY.md §2.8).
   * A Pallas TPU kernel fuses normalize+affine+activation in one VMEM pass
-    (enable with ``segtpu.ops.abn.USE_PALLAS = True`` or on TPU by default);
-    XLA-composite fallback everywhere else.
+    (opt in with ``segtpu.ops.abn.USE_PALLAS = True``); the default is the
+    XLA composite, which measured faster — see the USE_PALLAS note below.
 
 Layout: NHWC (channel-last), reductions over (N, H, W).
 """
@@ -156,7 +156,7 @@ def _abn_norm_act_pallas(x2d, scale, shift, activation: str, slope: float):
     )(x2d, scale.reshape(1, c), shift.reshape(1, c))
 
 
-def _abn_bwd_pallas(z2d, g2d, gamma, beta, rstd, activation: str, slope: float):
+def _abn_bwd_pallas(z2d, g2d, gamma, beta, activation: str, slope: float):
     """Fused backward pass 1: per-channel edz / eydz reductions from output.
 
     One read of (z, g): undo activation on the gradient, recover x_hat from
@@ -271,8 +271,7 @@ def _fused_abn_train_bwd(eps, activation, slope, axis_name, res, g):
     if _pallas_enabled() and z.ndim >= 2 and z.dtype == jnp.float32:
         z2d = z.reshape(-1, c)
         g2d = g.reshape(-1, c)
-        edz, eydz = _abn_bwd_pallas(z2d, g2d, gamma, beta, rstd, activation, slope)
-        dy = None  # recomputed below cheaply (fused by XLA with dx math)
+        edz, eydz = _abn_bwd_pallas(z2d, g2d, gamma, beta, activation, slope)
     else:
         edz = eydz = None
 
