@@ -92,6 +92,35 @@ class ResNeXtEncoder(nn.Module):
         return tuple(feats)
 
 
+# ResNeXt-26/50 configuration factories (reference linknext.py:160-192)
+def resnext26_2x64d(**kw):
+    return ResNeXtEncoder(num_blocks=(2, 2, 2, 2), cardinality=2, bottleneck_width=64, **kw)
+
+
+def resnext26_4x32d(**kw):
+    return ResNeXtEncoder(num_blocks=(2, 2, 2, 2), cardinality=4, bottleneck_width=32, **kw)
+
+
+def resnext26_8x16d(**kw):
+    return ResNeXtEncoder(num_blocks=(2, 2, 2, 2), cardinality=8, bottleneck_width=16, **kw)
+
+
+def resnext26_16x8d(**kw):
+    return ResNeXtEncoder(num_blocks=(2, 2, 2, 2), cardinality=16, bottleneck_width=8, **kw)
+
+
+def resnext26_32x4d(**kw):
+    return ResNeXtEncoder(num_blocks=(2, 2, 2, 2), cardinality=32, bottleneck_width=4, **kw)
+
+
+def resnext50_2x64d(**kw):
+    return ResNeXtEncoder(num_blocks=(3, 4, 6, 3), cardinality=2, bottleneck_width=64, **kw)
+
+
+def resnext50_32x4d(**kw):
+    return ResNeXtEncoder(num_blocks=(3, 4, 6, 3), cardinality=32, bottleneck_width=4, **kw)
+
+
 class LinkNextDecoderBlock(nn.Module):
     """conv1x1/4 -> deconv k4 s2 p1 (or 3x3 when stride1) -> conv1x1, BN+ReLU
     each, trailing Dropout2d (reference linknext.py:195-225)."""

@@ -159,21 +159,29 @@ class _ZFDoubleConv(nn.Module):
 
 class ZF_UNET(nn.Module):
     """ZF_UNET_224: 5-level U-Net, 32->1024 filters, per-block Dropout2d(0.2),
-    nearest upsample + concat (reference lib/models/zf_unet.py:35-95)."""
+    nearest upsample + concat (reference lib/models/zf_unet.py:35-95).
+
+    ``remat``: rematerialize each double-conv block in the backward pass —
+    on a bandwidth-bound profile this trades cheap recompute FLOPs for
+    saved-activation HBM traffic.
+    """
 
     input_channels: int = 3
     num_classes: int = 1
     filters: int = 32
     dropout_val: float = 0.2
     batch_norm: bool = True
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.filters
+        block_cls = (nn.remat(_ZFDoubleConv, static_argnums=(2,))
+                     if self.remat else _ZFDoubleConv)
 
         def dc(feat, name):
-            return _ZFDoubleConv(
+            return block_cls(
                 feat, self.dropout_val, self.batch_norm, self.dtype, name=name
             )
 

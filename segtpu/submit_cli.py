@@ -45,6 +45,8 @@ def build_arg_parser():
     parser.add_argument("--tile-parallel", action="store_true",
                         help="Shard the tile batch over all devices "
                              "(data-parallel tiled inference)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 model compute for inference")
     return parser
 
 
@@ -65,6 +67,10 @@ def main(argv=None):
     num_channels = 1 if args.grayscale else 3
     model = get_model(args.model, patch_size=args.patch_size,
                       num_channels=num_channels)
+    if args.bf16 and hasattr(model, "dtype"):
+        import dataclasses
+        import jax.numpy as jnp
+        model = dataclasses.replace(model, dtype=jnp.bfloat16)
     tx = get_optimizer("sgd", 1e-3)
     state = create_train_state(
         model, tx, (1, args.patch_size, args.patch_size, num_channels)

@@ -40,6 +40,15 @@ def count_parameters(params) -> Tuple[int, int]:
     return total, total
 
 
+def maybe_device(x, device=None):
+    """Put an array on an accelerator when one exists (the reference's
+    maybe_cuda analogue, lib/common.py:11-12)."""
+    try:
+        return jax.device_put(x, device)
+    except Exception:
+        return x
+
+
 def find_in_dir(dirname: str):
     """Sorted full paths of directory entries (reference lib/common.py:23)."""
     return [os.path.join(dirname, fname) for fname in sorted(os.listdir(dirname))]
