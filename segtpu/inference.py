@@ -60,15 +60,19 @@ def predict_full(image: np.ndarray, predict_fn: Callable, test_transform=None,
 def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
                   patch_size: int = 224, batch_size: int = 8,
                   tta: bool = True, weight: str = "pyramid",
-                  mesh=None) -> np.ndarray:
+                  mesh=None, slice_on_device: bool = True,
+                  threshold: float = None) -> np.ndarray:
     """Sliding-window tiled prediction with weighted fusion + D4 TTA
     (reference predict_tiled, inria_submit.py:237-257: step = patch/2,
     pyramid weights).
 
-    One host->device transfer (the tile batch), ONE compiled dispatch
-    (``lax.map`` over fixed-size chunks: TTA expand -> model -> TTA inverse),
-    device-side weighted merge, one small transfer back — vs the reference's
-    per-batch CPU<->GPU round trips (inria_submit.py:248-253).
+    Device-resident end to end: the (reflect-padded) image transfers ONCE,
+    tiles are gathered on-chip inside the compiled sweep (``lax.map`` over
+    fixed-size chunks: dynamic-slice -> TTA expand -> model -> TTA inverse),
+    the pyramid merge is a scatter-add, and only the fused mask returns — vs
+    the reference's per-batch CPU<->GPU round trips (inria_submit.py:248-253)
+    and vs shipping the (overlap-duplicated) tile batch.
+    ``slice_on_device=False`` falls back to host slicing (native tileio).
     """
     if test_transform is not None:
         image, _ = test_transform(image, None)
@@ -77,8 +81,7 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
         image = image[..., None]
 
     slicer = ImageSlicer(image.shape, patch_size, patch_size // 2, weight=weight)
-    tiles = slicer.split_batch(image)  # (T, p, p, C)
-    n_tiles = tiles.shape[0]
+    n_tiles = len(slicer.crops)
 
     group = 8 if tta else 1
     chunk = max(1, batch_size // group) if tta else batch_size
@@ -91,24 +94,68 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
         chunk += (-chunk) % n_data
     n_chunks = -(-n_tiles // chunk)
     pad = n_chunks * chunk - n_tiles
-    if pad:
-        tiles = np.concatenate(
-            [tiles, np.zeros((pad, *tiles.shape[1:]), tiles.dtype)]
-        )
 
-    device_tiles = jnp.asarray(tiles)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        device_tiles = jax.device_put(
-            device_tiles, NamedSharding(mesh, P(None))
+    if slice_on_device and mesh is None:
+        # crops repeated for the padded tail (re-predicting a real tile is
+        # cheaper than shipping zeros; its result is dropped before merge)
+        ys = [c[1] for c in slicer.crops] + [slicer.crops[0][1]] * pad
+        xs = [c[0] for c in slicer.crops] + [slicer.crops[0][0]] * pad
+        padded = np.pad(
+            image,
+            [(slicer.margin_top, slicer.margin_bottom),
+             (slicer.margin_left, slicer.margin_right), (0, 0)],
+            mode="reflect",
         )
-        preds = _run_tiles_sharded(predict_fn, tta, device_tiles, n_chunks,
-                                   chunk, mesh)
+        preds = _run_tiles_gather(
+            predict_fn, tta, jnp.asarray(padded),
+            jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
+            n_chunks, chunk, patch_size,
+        )
     else:
-        preds = _run_tiles(predict_fn, tta, device_tiles, n_chunks, chunk)
+        tiles = slicer.split_batch(image)  # (T, p, p, C)
+        if pad:
+            tiles = np.concatenate(
+                [tiles, np.zeros((pad, *tiles.shape[1:]), tiles.dtype)]
+            )
+        device_tiles = jnp.asarray(tiles)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            device_tiles = jax.device_put(
+                device_tiles, NamedSharding(mesh, P(None))
+            )
+            preds = _run_tiles_sharded(predict_fn, tta, device_tiles, n_chunks,
+                                       chunk, mesh)
+        else:
+            preds = _run_tiles(predict_fn, tta, device_tiles, n_chunks, chunk)
     merged = slicer.merge_device(preds[:n_tiles])
+    if threshold is not None:
+        # threshold on device and fetch uint8 (4x less host transfer)
+        mask = jax.jit(lambda m: ((m > threshold) * 255).astype(jnp.uint8))(merged)
+        return np.asarray(mask)[..., 0]
     return np.asarray(merged)[..., 0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))
+def _run_tiles_gather(predict_fn, tta: bool, padded, ys, xs,
+                      n_chunks: int, chunk: int, patch: int):
+    """On-device slicing variant: gather each chunk's tiles from the padded
+    image with dynamic slices inside the scan."""
+    c = padded.shape[-1]
+
+    def cut(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x, 0), (patch, patch, c))
+
+    def body(i):
+        sel = jax.lax.dynamic_slice(ys, (i * chunk,), (chunk,))
+        selx = jax.lax.dynamic_slice(xs, (i * chunk,), (chunk,))
+        tiles = jax.vmap(cut)(sel, selx)
+        x = tta_d4_aug_batch(tiles) if tta else tiles
+        y = predict_fn(x)
+        return tta_d4_deaug_batch(y) if tta else y
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))
+    return out.reshape(n_chunks * chunk, *out.shape[2:])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))

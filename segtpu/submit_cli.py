@@ -101,12 +101,12 @@ def main(argv=None):
         if args.full:
             mask = predict_full(image, predict_fn, test_transform,
                                 tta=not args.no_tta)
+            mask = ((mask > 0.5) * 255).astype(np.uint8)
         else:
             mask = predict_tiled(image, predict_fn, test_transform,
                                  args.patch_size, args.batch_size,
-                                 tta=not args.no_tta, mesh=mesh)
-
-        mask = ((mask > 0.5) * 255).astype(np.uint8)
+                                 tta=not args.no_tta, mesh=mesh,
+                                 threshold=0.5)
         cv2.imwrite(os.path.join(experiment_dir, basename + ".tif"), mask)
 
 

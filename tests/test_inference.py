@@ -108,3 +108,13 @@ def test_predict_tiled_mesh_matches_single_device():
                             batch_size=8, tta=True, mesh=mesh)
     np.testing.assert_allclose(sharded, single, atol=1e-5)
     np.testing.assert_allclose(sharded, image.mean(-1), atol=1e-4)
+
+
+def test_device_slicing_matches_host_slicing():
+    rng = np.random.RandomState(6)
+    image = rng.rand(130, 90, 3).astype(np.float32)
+    a = predict_tiled(image, _identity_predict, patch_size=64, batch_size=16,
+                      tta=True, slice_on_device=True)
+    b = predict_tiled(image, _identity_predict, patch_size=64, batch_size=16,
+                      tta=True, slice_on_device=False)
+    np.testing.assert_allclose(a, b, atol=1e-5)
