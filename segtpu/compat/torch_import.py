@@ -135,10 +135,43 @@ def _transplant_linknet34(sd, params, stats):
     params["finalconv3"]["Conv_0"] = _conv(sd, "finalconv3")
 
 
+def _transplant_ternaus(sd, params, stats, vgg16: bool):
+    """UNet11/UNet16 (reference unet11.py:51-122, unet16.py:52-131): VGG
+    encoder stages are Sequentials of (conv, relu) pairs; decoder blocks are
+    block = Sequential(ConvRelu, ConvTranspose2d, ReLU)."""
+    # index of each conv inside the stage Sequential (relu layers interleave)
+    stage_convs = (
+        {"conv1": [0, 2], "conv2": [0, 2], "conv3": [0, 2, 4],
+         "conv4": [0, 2, 4], "conv5": [0, 2, 4]}
+        if vgg16 else
+        {"conv1": [0], "conv2": [0], "conv3": [0, 2],
+         "conv4": [0, 2], "conv5": [0, 2]}
+    )
+    for stage, idxs in stage_convs.items():
+        for i, li in enumerate(idxs):
+            params[stage][f"conv{i}"]["Conv_0"] = _conv(sd, f"{stage}.{li}")
+
+    for name in ("center", "dec5", "dec4", "dec3", "dec2"):
+        params[name]["convrelu"]["conv"]["Conv_0"] = _conv(sd, f"{name}.block.0.conv")
+        params[name]["deconv"]["ConvTranspose_0"] = _deconv(sd, f"{name}.block.1")
+    params["dec1"]["conv"]["Conv_0"] = _conv(sd, "dec1.conv")
+    params["final"]["Conv_0"] = _conv(sd, "final")
+
+
+def _transplant_unet11(sd, params, stats):
+    _transplant_ternaus(sd, params, stats, vgg16=False)
+
+
+def _transplant_unet16(sd, params, stats):
+    _transplant_ternaus(sd, params, stats, vgg16=True)
+
+
 _TRANSPLANTS = {
     "unet": _transplant_unet,
     "zf_unet": _transplant_zf_unet,
     "linknet34": _transplant_linknet34,
+    "unet11": _transplant_unet11,
+    "unet16": _transplant_unet16,
 }
 
 

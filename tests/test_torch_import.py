@@ -146,3 +146,51 @@ def test_linknet34_transplant_roundtrip():
     for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
                     jax.tree_util.tree_leaves(stats)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("model_name,vgg16", [("unet11", False), ("unet16", True)])
+def test_ternaus_transplant_roundtrip(model_name, vgg16):
+    """Reference UNet11/16 need torchvision (absent); verify by round-trip
+    like linknet34: synthesize the torch state_dict from our tree, transplant
+    back, require exact equality."""
+    import numpy as np
+
+    ours = get_model(model_name)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = ours.init(jax.random.PRNGKey(0), x, train=False)
+    P = variables["params"]
+
+    sd = {}
+
+    def put_conv(prefix, node):
+        k = np.asarray(node["kernel"])
+        sd[prefix + ".weight"] = np.transpose(k, (3, 2, 0, 1))
+        if "bias" in node:
+            sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+    def put_deconv(prefix, node):
+        k = np.asarray(node["kernel"])
+        sd[prefix + ".weight"] = np.transpose(k, (3, 2, 0, 1))
+        if "bias" in node:
+            sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+    stage_convs = (
+        {"conv1": [0, 2], "conv2": [0, 2], "conv3": [0, 2, 4],
+         "conv4": [0, 2, 4], "conv5": [0, 2, 4]}
+        if vgg16 else
+        {"conv1": [0], "conv2": [0], "conv3": [0, 2],
+         "conv4": [0, 2], "conv5": [0, 2]}
+    )
+    for stage, idxs in stage_convs.items():
+        for i, li in enumerate(idxs):
+            put_conv(f"{stage}.{li}", P[stage][f"conv{i}"]["Conv_0"])
+    for name in ("center", "dec5", "dec4", "dec3", "dec2"):
+        put_conv(f"{name}.block.0.conv", P[name]["convrelu"]["conv"]["Conv_0"])
+        put_deconv(f"{name}.block.1", P[name]["deconv"]["ConvTranspose_0"])
+    put_conv("dec1.conv", P["dec1"]["conv"]["Conv_0"])
+    put_conv("final", P["final"]["Conv_0"])
+
+    params, stats = transplant_state_dict(model_name, sd, variables)
+    for a, b in zip(jax.tree_util.tree_leaves(P),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
