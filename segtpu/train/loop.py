@@ -25,6 +25,20 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _fetch_logs(batch_logs):
+    """Fetch a list of per-batch log dicts in ONE host transfer (stack the
+    scalars on device first; tiny per-batch device_gets dominate on slow
+    transports)."""
+    if not batch_logs:
+        return batch_logs
+    import jax.numpy as jnp
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batch_logs)
+    host = jax.device_get(stacked)
+    n = len(batch_logs)
+    return [jax.tree_util.tree_map(lambda a: a[i], host) for i in range(n)]
+
+
 def run_train_epoch(
     train_step,
     state,
@@ -57,7 +71,7 @@ def run_train_epoch(
         last_batch = batch
 
     # Single host fetch for the whole epoch's logs.
-    batch_logs = jax.device_get(batch_logs)
+    batch_logs = _fetch_logs(batch_logs)
     for i, logs in enumerate(batch_logs):
         step_idx = epoch * n_batches + i
         losses.update(float(logs["loss"]))
@@ -123,7 +137,7 @@ def run_validate_epoch(
         batch_logs.append(logs)
         last_batch = batch
 
-    batch_logs = jax.device_get(batch_logs)
+    batch_logs = _fetch_logs(batch_logs)
     for i, logs in enumerate(batch_logs):
         step_idx = epoch * n_batches + i
         losses.update(float(logs["loss"]))
