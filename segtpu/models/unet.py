@@ -97,6 +97,7 @@ class UNet(nn.Module):
     n_filters: int = 32
     upsample: bool = True
     abn: bool = False
+    final_dropout: float = 0.5  # reference unet.py:93 Dropout2d(p=0.5)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -112,7 +113,7 @@ class UNet(nn.Module):
         y = _Up(f * 2, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up2")(y, x3, train)
         y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up3")(y, x2, train)
         y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up4")(y, x1, train)
-        y = Dropout2d(0.5, name="finaldrop")(y, deterministic=not train)
+        y = Dropout2d(self.final_dropout, name="finaldrop")(y, deterministic=not train)
         return Conv(self.n_classes, 1, padding=0, dtype=self.dtype, name="outc")(
             y
         ).astype(jnp.float32)

@@ -223,3 +223,89 @@ def test_unet_forward_value_parity():
                      jnp.asarray(x), train=False)
     got = np.moveaxis(np.asarray(got), -1, 1)
     np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_full_train_step_parity_vs_torch():
+    """One complete training step — forward (train-mode BN), the reference's
+    (batch_size * loss).backward() scaling, SGD update — produces the same
+    loss, updated parameters, and BN running stats as the torch reference to
+    fp32 tolerance. Dropout is disabled on both sides (p=0) so the
+    stochastic masks don't confound the comparison; everything else runs
+    exactly as in the reference loop (torch_train.py:180-190)."""
+    import copy
+
+    from lib.models.unet import UNet as RefUNet
+    from lib.losses import BCEWithSigmoidLoss
+
+    from segtpu.models.unet import UNet as OurUNet
+    from segtpu.ops import get_loss
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import TrainState, make_train_step
+
+    torch.manual_seed(5)
+    ref = RefUNet()
+    ref.finaldrop.p = 0.0
+    ref.train()
+    lossf = BCEWithSigmoidLoss()
+    for attr, default in (("size_average", True), ("reduce", True)):
+        if not hasattr(lossf, attr):
+            object.__setattr__(lossf, attr, default)
+    opt = torch.optim.SGD(ref.parameters(), lr=1e-2)
+
+    rng = np.random.RandomState(7)
+    xb = rng.rand(4, 32, 32, 3).astype(np.float32)
+    yb = (rng.rand(4, 32, 32, 1) > 0.5).astype(np.float32)
+
+    # capture pre-step weights for the transplant
+    torch.manual_seed(5)
+    ref0 = RefUNet()
+
+    # --- torch step (reference loop semantics, torch_train.py:180-190)
+    opt.zero_grad()
+    loss_t = lossf(ref(_t(xb)), _t(yb))
+    (4 * loss_t).backward()
+    opt.step()
+
+    # --- our step with the same initial weights, dropout disabled
+    ours = OurUNet(final_dropout=0.0)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(xb), train=False)
+    params, stats = _transplant_unet_weights(ref0, variables["params"])
+    batch_stats = copy.deepcopy(variables["batch_stats"])
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and k in dst:
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+    merge(batch_stats, stats)
+
+    tx = get_optimizer("sgd", 1e-2)
+    state = TrainState.create(ours.apply, params, batch_stats, tx)
+    step = make_train_step(get_loss("bce"), donate=False)
+    new_state, logs = step(state, (jnp.asarray(xb), jnp.asarray(yb)), 1e-2,
+                           jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(logs["loss"]), float(loss_t.item()),
+                               rtol=1e-5)
+
+    # updated parameters must match: re-transplant from the post-step torch
+    # model and diff against our post-step tree
+    exp_params, exp_stats = _transplant_unet_weights(ref, variables["params"])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+        jax.tree_util.tree_flatten_with_path(exp_params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5,
+            err_msg=str(pa),
+        )
+    # BN running stats must match
+    flat_stats = jax.tree_util.tree_flatten_with_path(exp_stats)[0]
+    got_stats = new_state.batch_stats
+    for path, exp in flat_stats:
+        node = got_stats
+        for k in path:
+            node = node[k.key]
+        np.testing.assert_allclose(np.asarray(node), np.asarray(exp),
+                                   atol=1e-5, err_msg=str(path))
