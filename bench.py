@@ -17,9 +17,29 @@ import os
 import time
 
 
+def _training_batch(batch_size: int, patch: int, data_dir: str = None):
+    """A fixed training batch: real DSB2018 patches when a dataset directory
+    is available (the metric's nominal workload), else the on-device
+    synthetic shapes generator."""
+    import jax
+    import jax.numpy as jnp
+
+    if data_dir and os.path.isdir(os.path.join(data_dir, "images")):
+        import numpy as np
+        from segtpu.data.dsb2018 import DSB2018Sliced
+        train, _, _ = DSB2018Sliced(data_dir, grayscale=False, patch_size=patch)
+        samples = [train[i] for i in range(batch_size)]
+        x = jnp.asarray(np.stack([s[0] for s in samples]))
+        y = jnp.asarray(np.stack([s[1] for s in samples]))
+        return x, y
+    from segtpu.data.shapes import DeviceShapes
+    gen = DeviceShapes(patch)
+    return gen.batch(jax.random.PRNGKey(0), batch_size)
+
+
 def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
                 warmup: int = 3, model_name: str = "zf_unet",
-                bf16: bool = True) -> float:
+                bf16: bool = True, data_dir: str = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +47,6 @@ def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
     from segtpu.ops import default_metrics, get_loss
     from segtpu.train.optim import get_optimizer
     from segtpu.train.state import create_train_state, make_train_step
-    from segtpu.data.shapes import DeviceShapes
 
     import dataclasses
 
@@ -37,8 +56,7 @@ def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
     tx = get_optimizer("sgd", 1e-3)
     state = create_train_state(model, tx, (batch_size, patch, patch, 3))
 
-    gen = DeviceShapes(patch)
-    x, y = gen.batch(jax.random.PRNGKey(0), batch_size)
+    x, y = _training_batch(batch_size, patch, data_dir)
     jax.block_until_ready(x)
 
     step = make_train_step(get_loss("bce"), default_metrics(), donate=True)
@@ -99,7 +117,14 @@ def main():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--patch", type=int, default=512)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--model", type=str, default="zf_unet")
+    parser.add_argument("--data-dir", type=str, default="data/dsb2018",
+                        help="DSB2018 root (images/ + masks/); falls back to "
+                             "the synthetic shapes generator when absent")
     args = parser.parse_args()
+
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
@@ -112,7 +137,8 @@ def main():
         return
 
     value = measure_tpu(batch_size=args.batch_size, patch=args.patch,
-                        steps=args.steps)
+                        steps=args.steps, model_name=args.model,
+                        data_dir=args.data_dir)
 
     vs_baseline = 0.0
     if os.path.exists(baseline_path):
@@ -120,8 +146,10 @@ def main():
             cpu = json.load(f)["cpu_images_per_sec"]
         vs_baseline = value / cpu
 
+    used_dsb = os.path.isdir(os.path.join(args.data_dir or "", "images"))
     print(json.dumps({
-        "metric": f"zf_unet {args.patch}^2 bf16 train throughput",
+        "metric": f"{args.model} {args.patch}^2 bf16 train throughput "
+                  f"({'dsb2018' if used_dsb else 'synthetic shapes'})",
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2),

@@ -1,34 +1,38 @@
-"""Pure-NumPy loss mirrors (reference lib/numpy_losses.py:4-59).
+"""Pure-NumPy loss mirrors (capability of reference lib/numpy_losses.py).
 
 Used by the loss-shape plotting tool (segtpu/reporting/plot_loss.py) and as
 independent oracles in the test suite. These operate on *probabilities*
-(y_pred in [0,1]), matching the reference's numpy mirrors, unlike the jnp
-losses which take logits.
+(y_pred in [0, 1]), unlike the jnp losses which take logits.
+
+Value-parity notes (verified in tests): the reference's mirrors flatten to
+column vectors before reducing — a no-op for global sums, so these compute
+directly on the raw arrays; its ``binary_crossentropy`` keeps only the
+positive-class term and its ``smooth_jaccard_loss`` scales the distance by
+``smooth`` — both quirks reproduced.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+_EPS = 1e-7
+
 
 def binary_crossentropy(y_true, y_pred):
-    """Reference quirk preserved: only the positive-class term is summed
-    (lib/numpy_losses.py:4-11)."""
-    y_true = np.reshape(y_true, (-1, 1))
-    y_pred = np.reshape(y_pred, (-1, 1))
-    eps = 1e-7
-    y_pred = np.clip(y_pred, eps, 1 - eps)
-    loss = -np.sum(np.log(y_pred) * y_true)
-    return np.mean(loss)
+    clipped = np.clip(np.asarray(y_pred, dtype=np.float64), _EPS, 1 - _EPS)
+    return float(-(np.log(clipped) * np.asarray(y_true, dtype=np.float64)).sum())
+
+
+def _overlap_terms(y_true, y_pred):
+    t = np.asarray(y_true, dtype=np.float64)
+    p = np.asarray(y_pred, dtype=np.float64)
+    inter = float((t * p).sum())
+    return inter, float(t.sum() + p.sum())
 
 
 def jaccard_coef(y_true, y_pred):
-    y_true = np.reshape(y_true, (-1, 1))
-    y_pred = np.reshape(y_pred, (-1, 1))
-    eps = 1e-7
-    intersection = np.sum(y_true * y_pred)
-    union = np.sum(y_true) + np.sum(y_pred) + eps
-    return intersection / (union - intersection)
+    inter, total = _overlap_terms(y_true, y_pred)
+    return inter / (total + _EPS - inter)
 
 
 def jaccard_loss(y_true, y_pred):
@@ -36,14 +40,9 @@ def jaccard_loss(y_true, y_pred):
 
 
 def smooth_jaccard_loss(y_true, y_pred, smooth: float = 100.0):
-    """Smoothed Jaccard; the reference's numpy mirror scales the result by
-    ``smooth`` (lib/numpy_losses.py:52-55) — preserved here."""
-    y_true = np.reshape(y_true, (-1, 1))
-    y_pred = np.reshape(y_pred, (-1, 1))
-    intersection = np.sum(y_true * y_pred)
-    union = np.sum(y_true) + np.sum(y_pred)
-    jac = (intersection + smooth) / (union - intersection + smooth)
-    return (1 - jac) * smooth
+    inter, total = _overlap_terms(y_true, y_pred)
+    jac = (inter + smooth) / (total - inter + smooth)
+    return (1.0 - jac) * smooth
 
 
 def bce_jaccard_loss(y_true, y_pred):

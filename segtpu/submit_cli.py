@@ -56,6 +56,9 @@ def main(argv=None):
 
     args = build_arg_parser().parse_args(argv)
 
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.experiment is None:
         args.experiment = "inria_%s_%d_%s" % (
             args.model, args.patch_size, "gray" if args.grayscale else "rgb"

@@ -98,6 +98,8 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
 
     from segtpu.parallel.distributed import maybe_initialize_distributed
     maybe_initialize_distributed()
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.experiment is None:
         args.experiment = "%s%s_%s_%d_%s_%s" % (

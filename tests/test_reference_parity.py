@@ -309,3 +309,18 @@ def test_full_train_step_parity_vs_torch():
             node = node[k.key]
         np.testing.assert_allclose(np.asarray(node), np.asarray(exp),
                                    atol=1e-5, err_msg=str(path))
+
+
+def test_numpy_loss_mirror_parity():
+    from lib import numpy_losses as ref_np
+    from segtpu.ops import numpy_losses as our_np
+
+    rng = np.random.RandomState(11)
+    y_true = (rng.rand(64, 64) > 0.5).astype(np.float32)
+    y_pred = rng.rand(64, 64).astype(np.float32)
+    for name in ["binary_crossentropy", "jaccard_coef", "jaccard_loss",
+                 "smooth_jaccard_loss", "bce_jaccard_loss",
+                 "bce_smooth_jaccard_loss"]:
+        exp = float(getattr(ref_np, name)(y_true.copy(), y_pred.copy()))
+        got = float(getattr(our_np, name)(y_true, y_pred))
+        np.testing.assert_allclose(got, exp, rtol=1e-5, err_msg=name)
