@@ -15,7 +15,6 @@ Every op takes (key, images[, masks]) and draws per-sample parameters.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

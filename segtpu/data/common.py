@@ -7,7 +7,7 @@ TPU-preferred layout, vs the reference's CHW tensors.
 from __future__ import annotations
 
 from bisect import bisect_right
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

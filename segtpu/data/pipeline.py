@@ -11,8 +11,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from segtpu.models.linknet import LinkNet34
 from segtpu.models.unet import Afterburner
 
 

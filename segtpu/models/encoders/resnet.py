@@ -13,7 +13,7 @@ the harness ``--encoder-weights`` flag, else encoders init randomly.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

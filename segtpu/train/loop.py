@@ -10,7 +10,6 @@ collected asynchronously and fetched once per epoch.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
 
 import numpy as np
 
