@@ -49,7 +49,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Name of the dataset to use for training.")
     parser.add_argument("-dd", "--data-dir", type=str, default="data",
                         help="Root directory where datasets are located.")
-    parser.add_argument("-s", "--steps", type=int, default=128, help="Steps per epoch")
+    parser.add_argument("-s", "--steps", type=int, default=None,
+                        help="Steps per epoch (caps the train set; unset = "
+                             "full dataset, matching the reference where the "
+                             "flag existed but was unused)")
     parser.add_argument("-x", "--experiment", type=str, help="Name of the experiment")
     parser.add_argument("-w", "--workers", default=0, type=int, help="Num workers")
     parser.add_argument("-r", "--resume", action="store_true")
@@ -176,7 +179,7 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             args.dataset, args.data_dir, grayscale=args.grayscale,
             patch_size=args.patch_size, keep_in_mem=args.memory,
         )
-    if args.steps > 0:
+    if args.steps is not None and args.steps > 0:
         from segtpu.data.pipeline import Subset
         trainset = Subset(trainset, args.steps * args.batch_size)
         validset = Subset(validset, max(args.steps // 4, 1) * args.batch_size)
