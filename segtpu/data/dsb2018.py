@@ -79,10 +79,16 @@ def slice_all_into_patches(images, masks, patch_size: int):
     return patch_images, patch_masks, image_ids
 
 
-def DSB2018Sliced(dataset_dir: str, grayscale: bool, patch_size: int):
+def DSB2018Sliced(dataset_dir: str, grayscale: bool, patch_size: int,
+                  raw: bool = False):
     """RAM-sliced variant, registered as ``dsb2018``
     (reference dsb2018.py:52-98): all images loaded, overlap-sliced,
-    stratified split by source image, heavy train augmentations."""
+    stratified split by source image, heavy train augmentations.
+
+    ``raw=True`` skips the host transforms entirely (loaders yield raw
+    pixels) for the on-device augmentation path
+    (segtpu.augment.device.dsb2018_train_pipeline).
+    """
     image_files, mask_files = _list_pairs(dataset_dir)
     images = [read_rgb(f) for f in image_files]
     masks = [read_mask(f) for f in mask_files]
@@ -95,12 +101,15 @@ def DSB2018Sliced(dataset_dir: str, grayscale: bool, patch_size: int):
         test_size=_TEST_FRACTION, stratify=image_ids,
     )
 
-    train_pipeline = aug.Sequential(
-        [aug.ImageOnly(aug.NormalizeImage())]
-        + _heavy_geometric()
-        + [aug.MaskOnly(aug.MakeBinary())]
-    )
-    test_pipeline = aug.Sequential(_normalize_and_binarize())
+    if raw:
+        train_pipeline = test_pipeline = None
+    else:
+        train_pipeline = aug.Sequential(
+            [aug.ImageOnly(aug.NormalizeImage())]
+            + _heavy_geometric()
+            + [aug.MaskOnly(aug.MakeBinary())]
+        )
+        test_pipeline = aug.Sequential(_normalize_and_binarize())
 
     return (
         InMemoryDataset(x_train, y_train, transform=train_pipeline),

@@ -170,9 +170,14 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             validset = ShapesDataset(128, args.patch_size, seed=1_000_000,
                                      normalize=False)
             num_classes = 1
+        elif args.dataset.lower() == "dsb2018":
+            from segtpu.data.dsb2018 import DSB2018Sliced
+            trainset, validset, num_classes = DSB2018Sliced(
+                args.data_dir, args.grayscale, args.patch_size, raw=True
+            )
         else:
             raise SystemExit(
-                "--device-augs raw loaders currently wired for shapes only"
+                "--device-augs raw loaders currently wired for shapes/dsb2018"
             )
     else:
         trainset, validset, num_classes = get_dataset(

@@ -70,3 +70,28 @@ def test_train_ab_cli(tmp_path):
     assert np.isfinite(history["loss"][0])
     ab_dir = tmp_path / "experiments" / "shapes" / "bce" / "ab_shapes_unet_32_rgb_bce"
     assert ab_dir.exists()
+
+
+def test_train_cli_device_augs_dsb2018(tmp_path):
+    """--device-augs with the dsb2018 raw loader path, end to end."""
+    import cv2
+
+    data_dir = tmp_path / "dsb"
+    (data_dir / "images").mkdir(parents=True)
+    (data_dir / "masks").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        img = (rng.rand(130, 130, 3) * 255).astype(np.uint8)
+        m = np.zeros((130, 130), np.uint8)
+        cv2.circle(m, (65, 65), 20 + i, 255, -1)
+        cv2.imwrite(str(data_dir / "images" / f"i{i}.png"), img)
+        cv2.imwrite(str(data_dir / "masks" / f"i{i}.png"), m)
+
+    from segtpu.train_cli import main
+    history = main([
+        "-m", "unet", "-d", "dsb2018", "-dd", str(data_dir),
+        "-l", "bce", "-o", "adam", "-b", "4", "-p", "64", "-e", "1", "-s", "2",
+        "--device-augs", "--no-tensorboard", "--light-logging",
+        "--experiments-dir", str(tmp_path / "experiments"),
+    ])
+    assert np.isfinite(history["loss"][0])
