@@ -95,3 +95,23 @@ def test_train_cli_device_augs_dsb2018(tmp_path):
         "--experiments-dir", str(tmp_path / "experiments"),
     ])
     assert np.isfinite(history["loss"][0])
+
+
+def test_train_cli_with_tensorboard(tmp_path):
+    """TB-enabled path: scalars, images, histograms, PR curve, model summary."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # tensorboardX writes ./runs
+    try:
+        from segtpu.train_cli import main
+        main([
+            "-m", "unet", "-d", "shapes", "-l", "bce", "-o", "adam",
+            "-b", "4", "-p", "32", "-e", "1", "-s", "2", "-lr", "1e-3",
+            "--experiments-dir", str(tmp_path / "experiments"),
+        ])
+    finally:
+        os.chdir(cwd)
+    runs = tmp_path / "runs"
+    assert runs.exists()
+    event_files = list(runs.rglob("events.out.tfevents.*"))
+    assert event_files, "no tensorboard event files written"
+    assert event_files[0].stat().st_size > 1000
