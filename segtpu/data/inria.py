@@ -43,9 +43,10 @@ def _test_transform():
 
 
 def INRIA(dataset_dir: str, grayscale: bool, patch_size: int,
-          keep_in_mem: bool, small: bool = False):
+          keep_in_mem: bool, small: bool = False, raw: bool = False):
     """Lazy tiled datasets over the 5000x5000 images
-    (reference Inria.py:38-67); ``small`` truncates to 4 images."""
+    (reference Inria.py:38-67); ``small`` truncates to 4 images; ``raw``
+    skips host transforms for the on-device augmentation path."""
     x = sorted(find_in_dir(os.path.join(dataset_dir, "images")))
     y = sorted(find_in_dir(os.path.join(dataset_dir, "gt")))
     if small:
@@ -57,11 +58,11 @@ def INRIA(dataset_dir: str, grayscale: bool, patch_size: int,
 
     train = TiledImagesDataset(x_train, y_train, patch_size,
                                target_shape=(5000, 5000),
-                               transform=_train_transform(grayscale),
+                               transform=None if raw else _train_transform(grayscale),
                                keep_in_mem=keep_in_mem)
     test = TiledImagesDataset(x_test, y_test, patch_size,
                               target_shape=(5000, 5000),
-                              transform=_test_transform(),
+                              transform=None if raw else _test_transform(),
                               keep_in_mem=keep_in_mem)
     return train, test, 1
 

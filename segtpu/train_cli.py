@@ -77,7 +77,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device-augs", action="store_true",
                         help="Run augmentation on the TPU inside the compiled "
                              "train step (loaders yield raw pixels); "
-                             "supported for shapes and dsb2018")
+                             "supported for shapes, dsb2018, inria")
+    parser.add_argument("--freeze-encoder", action="store_true",
+                        help="Freeze the encoder subtree (zero gradients) - "
+                             "the frozen-then-finetune workflow for "
+                             "pretrained-encoder models")
     return parser
 
 
@@ -175,9 +179,15 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             trainset, validset, num_classes = DSB2018Sliced(
                 args.data_dir, args.grayscale, args.patch_size, raw=True
             )
+        elif args.dataset.lower() in ("inria", "inria-small"):
+            from segtpu.data.inria import INRIA
+            trainset, validset, num_classes = INRIA(
+                args.data_dir, args.grayscale, args.patch_size, args.memory,
+                small=args.dataset.lower() == "inria-small", raw=True,
+            )
         else:
             raise SystemExit(
-                "--device-augs raw loaders currently wired for shapes/dsb2018"
+                "--device-augs raw loaders wired for shapes/dsb2018/inria"
             )
     else:
         trainset, validset, num_classes = get_dataset(
@@ -204,6 +214,17 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         state = state_initializer(state, args)
     state = replicate(state, mesh)
     trainable_mask = trainable_mask_fn(state) if trainable_mask_fn else None
+    if args.freeze_encoder:
+        if "encoder" not in state.params:
+            raise SystemExit(
+                f"--freeze-encoder: model '{args.model}' has no encoder subtree"
+            )
+        if trainable_mask is None:
+            trainable_mask = jax.tree_util.tree_map(lambda _: True, state.params)
+        trainable_mask = dict(trainable_mask)
+        trainable_mask["encoder"] = jax.tree_util.tree_map(
+            lambda _: False, state.params["encoder"]
+        )
 
     print("Train set size", len(trainset))
     print("Valid set size", len(validset))

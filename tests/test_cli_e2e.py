@@ -115,3 +115,19 @@ def test_train_cli_with_tensorboard(tmp_path):
     event_files = list(runs.rglob("events.out.tfevents.*"))
     assert event_files, "no tensorboard event files written"
     assert event_files[0].stat().st_size > 1000
+
+
+def test_train_cli_freeze_encoder(tmp_path):
+    """--freeze-encoder keeps encoder params fixed while decoders train."""
+    from segtpu.train_cli import main
+
+    args = _common(tmp_path, ["-m", "linknet34", "--freeze-encoder"])
+    args[args.index("-p") + 1] = "64"  # linknet34 needs /32-divisible inputs
+    history = main(args)
+    assert np.isfinite(history["loss"][0])
+    # checkpoint written; verify the encoder weights equal a fresh init? the
+    # mask path is covered by unit tests - here we assert the flag wires
+    # through without error and on a model lacking an encoder it fails fast
+    import pytest
+    with pytest.raises(SystemExit):
+        main(_common(tmp_path, ["-m", "unet", "--freeze-encoder"]))
