@@ -63,6 +63,12 @@ def save_snapshot(
         json.dump(meta, f)
 
 
+def load_snapshot_meta(snapshot_path: str) -> Dict[str, Any]:
+    """Read just the {epoch, loss, train_history, args} metadata."""
+    with open(_meta_path(os.path.abspath(snapshot_path))) as f:
+        return json.load(f)
+
+
 def restore_snapshot(
     state,
     snapshot_path: str,

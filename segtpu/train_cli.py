@@ -312,12 +312,16 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         snapshot_due = args.snapshot_every > 0 and (
             (epoch + 1) % args.snapshot_every == 0 or epoch == args.epochs - 1
         )
-        if valid_loss.avg < best_loss:
+        if valid_loss.avg < best_loss and args.snapshot_every > 0:
+            # A new best is always checkpointed immediately (reference
+            # torch_train.py:435-438); --snapshot-every gates only the
+            # periodic last-epoch snapshot. Gating the best write too would
+            # silently drop best weights: best_loss advances, the epoch
+            # isn't due, and no later epoch can beat it to re-trigger.
             best_loss = valid_loss.avg
-            if snapshot_due:
-                save_snapshot(state, valid_loss.avg, epoch, train_history,
-                              checkpoint_filename)
-                print("Checkpoint saved", epoch, best_loss)
+            save_snapshot(state, valid_loss.avg, epoch, train_history,
+                          checkpoint_filename)
+            print("Checkpoint saved", epoch, best_loss)
         if snapshot_due:
             save_snapshot(state, valid_loss.avg, epoch, train_history,
                           snapshot_filename)

@@ -117,6 +117,27 @@ def test_train_cli_with_tensorboard(tmp_path):
     assert event_files[0].stat().st_size > 1000
 
 
+def test_train_cli_snapshot_every_keeps_best(tmp_path):
+    """Regression: a new-best epoch must write the best checkpoint even when
+    it is not snapshot-due (--snapshot-every 3). Previously best_loss advanced
+    without a write, silently losing the best weights forever."""
+    from segtpu.train.checkpoint import load_snapshot_meta
+    from segtpu.train_cli import main
+
+    args = _common(tmp_path, ["-m", "unet", "--snapshot-every", "3"])
+    args[args.index("-e") + 1] = "2"  # 2 epochs: neither is snapshot-due mid-run
+    history = main(args)
+    exp_dir = tmp_path / "experiments" / "shapes" / "bce" / "shapes_unet_32_rgb_bce"
+    ckpt = exp_dir / "unet_checkpoint.ckpt"
+    assert (ckpt / "state.msgpack").exists(), "best checkpoint never written"
+    meta = load_snapshot_meta(str(ckpt))
+    best_epoch = int(np.argmin(history["val_loss"]))
+    assert meta["epoch"] == best_epoch
+    assert meta["loss"] == pytest.approx(min(history["val_loss"]))
+    # last-epoch snapshot still honors the final-epoch force-write
+    assert (exp_dir / "unet_snapshot.ckpt" / "state.msgpack").exists()
+
+
 def test_train_cli_freeze_encoder(tmp_path):
     """--freeze-encoder keeps encoder params fixed while decoders train."""
     from segtpu.train_cli import main
