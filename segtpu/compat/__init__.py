@@ -4,3 +4,8 @@ from segtpu.compat.torch_import import (  # noqa: F401
     import_torch_snapshot,
     transplant_state_dict,
 )
+from segtpu.compat.encoder_weights import (  # noqa: F401
+    ENCODER_SPECS,
+    encoder_paths,
+    install_encoder_weights,
+)

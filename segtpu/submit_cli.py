@@ -31,7 +31,13 @@ def build_arg_parser():
     parser.add_argument("-m", "--model", required=True, type=str,
                         help="Name of the model")
     parser.add_argument("-c", "--checkpoint", required=True, type=str,
-                        help="Name of the model checkpoint")
+                        help="Name of the model checkpoint (segtpu .ckpt dir, "
+                             "or a torch reference .pth when it ends in .pth)")
+    parser.add_argument("--encoder-weights", type=str, default=None,
+                        help="Local torch .pth with torchvision-format "
+                             "encoder weights (loaded before the checkpoint; "
+                             "mainly useful with randomly-initialized "
+                             "checkpoints)")
     parser.add_argument("-p", "--patch-size", type=int, default=224)
     parser.add_argument("-b", "--batch-size", type=int, default=1,
                         help="Batch Size during inference")
@@ -78,10 +84,29 @@ def main(argv=None):
     state = create_train_state(
         model, tx, (1, args.patch_size, args.patch_size, num_channels)
     )
-    state, start_epoch, _, best_loss = restore_snapshot(
-        state, auto_file(args.checkpoint), restore_opt=False
-    )
-    print("Using weights from epoch", start_epoch - 1, best_loss)
+    if args.encoder_weights:
+        from segtpu.compat.encoder_weights import install_encoder_weights
+        new_params, new_stats = install_encoder_weights(
+            args.model, state.params, state.batch_stats, args.encoder_weights
+        )
+        state = state.replace(params=new_params, batch_stats=new_stats)
+    ckpt_file = auto_file(args.checkpoint)
+    if ckpt_file.endswith(".pth"):
+        # a torch reference checkpoint (reference torch_train.py:308-316):
+        # transplant the whole model, not just the encoder
+        from segtpu.compat import import_torch_snapshot
+        params, stats, meta = import_torch_snapshot(
+            args.model, ckpt_file,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(params=params, batch_stats=stats)
+        print("Using torch checkpoint from epoch", meta.get("epoch"),
+              meta.get("loss"))
+    else:
+        state, start_epoch, _, best_loss = restore_snapshot(
+            state, ckpt_file, restore_opt=False
+        )
+        print("Using weights from epoch", start_epoch - 1, best_loss)
 
     test_transform = aug.Sequential([
         aug.ImageOnly(aug.NormalizeImage(mean=INRIA_MEAN, std=INRIA_STD)),

@@ -82,6 +82,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Freeze the encoder subtree (zero gradients) - "
                              "the frozen-then-finetune workflow for "
                              "pretrained-encoder models")
+    parser.add_argument("--encoder-weights", type=str, default=None,
+                        help="Local torch .pth with torchvision-format "
+                             "encoder weights (resnet34/101/152 or "
+                             "vgg11/16 depending on the model) to load "
+                             "into the encoder — the zero-egress stand-in "
+                             "for the reference's pretrained=True")
     return parser
 
 
@@ -210,21 +216,37 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     state = create_train_state(
         model, tx, (args.batch_size, args.patch_size, args.patch_size, num_channels)
     )
+    if args.encoder_weights:
+        from segtpu.compat.encoder_weights import install_encoder_weights
+        new_params, new_stats = install_encoder_weights(
+            args.model, state.params, state.batch_stats, args.encoder_weights
+        )
+        state = state.replace(params=new_params, batch_stats=new_stats,
+                              opt_state=state.tx.init(new_params))
+        print("Encoder weights loaded from", args.encoder_weights)
     if state_initializer is not None:
         state = state_initializer(state, args)
     state = replicate(state, mesh)
     trainable_mask = trainable_mask_fn(state) if trainable_mask_fn else None
     if args.freeze_encoder:
-        if "encoder" not in state.params:
+        from segtpu.compat.encoder_weights import encoder_paths
+        paths = encoder_paths(args.model, state.params)
+        if not paths:
             raise SystemExit(
                 f"--freeze-encoder: model '{args.model}' has no encoder subtree"
             )
         if trainable_mask is None:
             trainable_mask = jax.tree_util.tree_map(lambda _: True, state.params)
-        trainable_mask = dict(trainable_mask)
-        trainable_mask["encoder"] = jax.tree_util.tree_map(
-            lambda _: False, state.params["encoder"]
-        )
+        from flax.core import unfreeze
+        trainable_mask = jax.tree_util.tree_map(
+            lambda v: v, unfreeze(trainable_mask))
+        for path in paths:
+            node, ref = trainable_mask, state.params
+            for key in path[:-1]:
+                node, ref = node[key], ref[key]
+            node[path[-1]] = jax.tree_util.tree_map(
+                lambda _: False, ref[path[-1]]
+            )
 
     print("Train set size", len(trainset))
     print("Valid set size", len(validset))
