@@ -148,6 +148,96 @@ def test_linknet34_transplant_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _zero_template(variables):
+    import jax.numpy as jnp
+
+    return {
+        "params": jax.tree_util.tree_map(jnp.zeros_like, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+            jnp.zeros_like, variables.get("batch_stats", {})),
+    }
+
+
+def _roundtrip(model_name, patch):
+    """export -> transplant into a ZEROED tree -> exact equality with the
+    original. The zero template proves the mapping covers every leaf: any
+    param without an entry would stay zero and fail the comparison."""
+    from segtpu.compat import export_state_dict
+
+    ours = get_model(model_name)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3)),
+                          train=False)
+    sd = export_state_dict(model_name, variables["params"],
+                           variables.get("batch_stats", {}))
+    params, stats = transplant_state_dict(model_name, sd, _zero_template(variables))
+
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params))
+    for path, a in flat_a:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        variables.get("batch_stats", {}))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(stats))
+    for path, a in flat_a:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+
+@pytest.mark.parametrize("model_name,patch", [
+    ("unet", 32), ("unet_abn", 32), ("zf_unet", 32), ("linknet34", 64),
+    ("dilated_linknet34", 64), ("linknext", 64), ("gcn34", 64),
+    ("tiramisu57", 32), ("squeezenet", 32), ("unet11", 32), ("unet16", 32),
+])
+def test_export_import_roundtrip(model_name, patch):
+    _roundtrip(model_name, patch)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_name,patch", [
+    ("gcn", 64), ("psp_net", 32), ("duc", 32), ("duc_dc", 32),
+    ("tiramisu67", 32), ("tiramisu103", 32),
+])
+def test_export_import_roundtrip_heavy(model_name, patch):
+    _roundtrip(model_name, patch)
+
+
+def test_tiramisu57_transplant_forward_parity():
+    from lib.models.tiramisu import FCDenseNet57 as RefT57
+    torch.manual_seed(4)
+    _forward_parity("tiramisu57", RefT57(1))
+
+
+@pytest.mark.slow
+def test_tiramisu67_transplant_forward_parity():
+    from lib.models.tiramisu import FCDenseNet67 as RefT67
+    torch.manual_seed(5)
+    _forward_parity("tiramisu67", RefT67(1))
+
+
+def test_squeezenet_transplant_forward_parity():
+    from lib.models.squeezenet import SqueezeNet as RefSq
+    torch.manual_seed(6)
+    _forward_parity("squeezenet", RefSq(in_channels=3, num_classes=1))
+
+
+def test_gcn34_torch_prefixes_match_wrapper_layout():
+    """gcn34's encoder keys follow the reference's Sequential wrapping
+    (layer0 = [conv1, bn1, relu]; layer1 = [maxpool, resnet.layer1]) —
+    assert the exported key set uses those prefixes."""
+    from segtpu.compat import export_state_dict
+
+    ours = get_model("gcn34")
+    variables = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                          train=False)
+    sd = export_state_dict("gcn34", variables["params"], variables["batch_stats"])
+    assert "layer0.0.weight" in sd          # conv1
+    assert "layer0.1.running_mean" in sd    # bn1
+    assert "layer1.1.0.conv1.weight" in sd  # first block behind maxpool
+    assert "layer2.0.conv1.weight" in sd    # layers 2-4 unwrapped
+    assert "gcm1.conv_l1.weight" in sd and "brm9.conv2.weight" in sd
+
+
 @pytest.mark.parametrize("model_name,vgg16", [("unet11", False), ("unet16", True)])
 def test_ternaus_transplant_roundtrip(model_name, vgg16):
     """Reference UNet11/16 need torchvision (absent); verify by round-trip
