@@ -88,7 +88,12 @@ def _subtree(tree, path):
 
 def _merge_into(dst, src, where=""):
     """Recursively overwrite dst's leaves with src's (src must be a
-    sub-structure of dst; leaf shapes must match)."""
+    sub-structure of dst; leaf shapes must match).
+
+    Grayscale adaptation: a first-layer conv kernel whose input-channel dim
+    (HWIO axis 2) is 3 in the file but 1 in the model is collapsed by
+    summing over RGB — for replicated-gray inputs the response is identical
+    to the RGB stem's, so ImageNet stems stay useful under ``-g``."""
     for key, value in src.items():
         if key not in dst:
             raise KeyError(f"encoder weights key '{where}/{key}' not in model tree "
@@ -98,6 +103,10 @@ def _merge_into(dst, src, where=""):
         else:
             have = np.shape(dst[key])
             want = np.shape(value)
+            if (key == "kernel" and len(have) == 4 and len(want) == 4
+                    and have[3] == want[3] and have[2] == 1 and want[2] == 3):
+                value = value.sum(axis=2, keepdims=True)
+                want = np.shape(value)
             if tuple(have) != tuple(want):
                 raise ValueError(
                     f"encoder weight '{where}/{key}' shape {want} does not match "

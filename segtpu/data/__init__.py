@@ -20,7 +20,7 @@ def get_dataset(
     name = dataset_name.lower()
 
     if name == "shapes":
-        return SHAPES(patch_size)
+        return SHAPES(patch_size, grayscale=grayscale)
 
     if name == "dsb2018":
         from segtpu.data.dsb2018 import DSB2018Sliced

@@ -54,6 +54,13 @@ def gen_random_image(patch_size: int, rng: np.random.RandomState):
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
+# Grayscale variants: BT.601 luma weights; channel-mean ImageNet stats.
+# (The reference SHAPES has no grayscale path at all — its -g flag crashes
+# on this dataset upstream; supporting it here is a conscious capability fix.)
+GRAY_WEIGHTS = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+IMAGENET_GRAY_MEAN = float(IMAGENET_MEAN.mean())
+IMAGENET_GRAY_STD = float(IMAGENET_STD.mean())
+
 
 class ShapesDataset:
     """Map-style dataset: index -> (image float32 HWC, mask HW1).
@@ -64,11 +71,13 @@ class ShapesDataset:
     exactly.
     """
 
-    def __init__(self, steps: int, patch_size: int, seed: int = 0, normalize: bool = True):
+    def __init__(self, steps: int, patch_size: int, seed: int = 0,
+                 normalize: bool = True, grayscale: bool = False):
         self.steps = steps
         self.patch_size = patch_size
         self.seed = seed
         self.normalize = normalize
+        self.grayscale = grayscale
         self.epoch = 0
 
     def __len__(self):
@@ -81,7 +90,11 @@ class ShapesDataset:
         rng = np.random.RandomState(self.seed + self.epoch * self.steps + i)
         img, mask = gen_random_image(self.patch_size, rng)
         x = img.astype(np.float32)
-        if self.normalize:
+        if self.grayscale:
+            x = (x @ GRAY_WEIGHTS)[..., None]
+            if self.normalize:
+                x = (x / 255.0 - IMAGENET_GRAY_MEAN) / IMAGENET_GRAY_STD
+        elif self.normalize:
             x = (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         y = mask.astype(np.float32)[..., None]
         return x, y
@@ -134,11 +147,12 @@ class DeviceShapes:
         return self._gen(key, batch_size)
 
 
-def SHAPES(patch_size: int, seed: int = 0):
+def SHAPES(patch_size: int, seed: int = 0, grayscale: bool = False):
     """Factory: (train_ds, valid_ds, num_classes) — 1024/128 steps, 1 class
     (reference lib/datasets/shapes.py:62-69)."""
     return (
-        ShapesDataset(1024, patch_size, seed=seed),
-        ShapesDataset(128, patch_size, seed=seed + 1_000_000),
+        ShapesDataset(1024, patch_size, seed=seed, grayscale=grayscale),
+        ShapesDataset(128, patch_size, seed=seed + 1_000_000,
+                      grayscale=grayscale),
         1,
     )

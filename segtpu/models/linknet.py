@@ -69,7 +69,10 @@ class LinkNet34(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert self.num_channels == 3
+        # Upstream hard-asserts num_channels==3 (linknet.py:36), which crashes
+        # the public -g flag; here the lazy stem conv accepts any channel
+        # count (pretrained RGB stems are collapsed by summing — see
+        # compat/encoder_weights.py).
         filters = [64, 128, 256, 512]
         enc = resnet34(dilated=self.dilated, dtype=self.dtype)
         stem, e1, e2, e3, e4 = enc.copy(name="encoder")(x, train)

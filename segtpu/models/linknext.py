@@ -158,7 +158,8 @@ class LinkNext(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        assert self.num_channels == 3
+        # upstream asserts num_channels==3 (linknext.py:231); the lazy stem
+        # conv here accepts any channel count so the -g flag works
         dt = self.dtype
         e1, e2, e3, e4 = ResNeXtEncoder(dtype=dt, name="encoder")(x, train)
         filters = [e1.shape[-1], e2.shape[-1], e3.shape[-1], e4.shape[-1]]

@@ -133,35 +133,10 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     with open(os.path.join(experiment_dir, "arguments.txt"), "w") as f:
         f.write(" ".join(sys.argv[1:]))
 
-    num_channels = 1 if args.grayscale else 3
     dtype = None
     if args.bf16:
         import jax.numpy as jnp
         dtype = jnp.bfloat16
-
-    if model_builder is not None:
-        model = model_builder(args, num_channels)
-    else:
-        model = get_model(args.model, patch_size=args.patch_size,
-                          num_channels=num_channels)
-    if dtype is not None and hasattr(model, "dtype"):
-        import dataclasses
-        model = dataclasses.replace(model, dtype=dtype)
-
-    if writer is not None:
-        # model structure summary (the add_graph equivalent,
-        # reference torch_train.py:370-371)
-        try:
-            import jax.numpy as jnp
-            from flax import linen as fnn
-            table = fnn.tabulate(
-                model, jax.random.PRNGKey(0),
-                compute_flops=False, compute_vjp_flops=False,
-            )(jnp.zeros((1, args.patch_size, args.patch_size, num_channels)),
-              train=False)
-            writer.add_text("model/graph", f"```\n{table}\n```")
-        except Exception:
-            pass
 
     loss_fn = get_loss(args.loss)
     tx = get_optimizer(args.optimizer, args.learning_rate)
@@ -169,6 +144,11 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
 
     augment_fn = eval_transform_fn = None
     if args.device_augs:
+        if args.grayscale:
+            raise SystemExit(
+                "--device-augs pipelines are RGB (3-channel normalization); "
+                "drop -g or use the host augmentation path"
+            )
         from segtpu.augment.device import get_device_pipelines
         pipelines = get_device_pipelines(args.dataset)
         if pipelines is None:
@@ -204,6 +184,36 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         from segtpu.data.pipeline import Subset
         trainset = Subset(trainset, args.steps * args.batch_size)
         validset = Subset(validset, max(args.steps // 4, 1) * args.batch_size)
+
+    # Input channels follow the data, not the -g flag alone: shapes yields
+    # true 1-channel under -g, while dsb2018/inria keep 3 channels with
+    # grayscaled content (reference semantics — RandomGrayscale(p=1) stays
+    # 3-channel, torch_train.py:336 / Inria.py:27).
+    num_channels = int(np.asarray(trainset[0][0]).shape[-1])
+
+    if model_builder is not None:
+        model = model_builder(args, num_channels)
+    else:
+        model = get_model(args.model, patch_size=args.patch_size,
+                          num_channels=num_channels)
+    if dtype is not None and hasattr(model, "dtype"):
+        import dataclasses
+        model = dataclasses.replace(model, dtype=dtype)
+
+    if writer is not None:
+        # model structure summary (the add_graph equivalent,
+        # reference torch_train.py:370-371)
+        try:
+            import jax.numpy as jnp
+            from flax import linen as fnn
+            table = fnn.tabulate(
+                model, jax.random.PRNGKey(0),
+                compute_flops=False, compute_vjp_flops=False,
+            )(jnp.zeros((1, args.patch_size, args.patch_size, num_channels)),
+              train=False)
+            writer.add_text("model/graph", f"```\n{table}\n```")
+        except Exception:
+            pass
 
     from segtpu.parallel import fit_data_parallel
     n_data = fit_data_parallel(

@@ -49,6 +49,66 @@ def test_forward_heavy_models(name):
     _run_forward(name, patch=32)
 
 
+def _run_forward_gray(name, patch=64):
+    """-g (grayscale, 1-channel input) works for every zoo model — the
+    reference hard-asserted 3 channels in linknet/linknext; here lazy stem
+    convs accept any channel count (VERDICT r1 item 8)."""
+    model = get_model(name, patch_size=patch, num_channels=1)
+    x = jnp.zeros((1, patch, patch, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, patch, patch, 1), (name, y.shape)
+
+
+@pytest.mark.parametrize("name", FAST_MODELS)
+def test_forward_grayscale_fast_models(name):
+    _run_forward_gray(name)
+
+
+@pytest.mark.parametrize("name", SLOW_MODELS)
+def test_forward_grayscale_slow_models(name):
+    _run_forward_gray(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HEAVY_MODELS)
+def test_forward_grayscale_heavy_models(name):
+    _run_forward_gray(name, patch=32)
+
+
+def test_grayscale_encoder_weights_sum_rgb(tmp_path):
+    """--encoder-weights under -g: the RGB stem kernel collapses by summing,
+    so gray(x) response == rgb stem applied to replicated-gray input."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("no reference checkout")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from lib.models.dilated_resnet import BasicBlock, DilatedResNet
+
+    from segtpu.compat.encoder_weights import install_encoder_weights
+
+    torch.manual_seed(0)
+    ref = DilatedResNet(BasicBlock, [3, 4, 6, 3], dilated=False)
+    pth = tmp_path / "resnet34.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    model = get_model("linknet34", num_channels=1)
+    x1 = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, train=False)
+    params, stats = install_encoder_weights(
+        "linknet34", variables["params"], variables["batch_stats"], str(pth))
+    kern = np.asarray(params["encoder"]["conv1"]["Conv_0"]["kernel"])
+    assert kern.shape == (7, 7, 1, 64)
+    want = np.transpose(ref.state_dict()["conv1.weight"].numpy(),
+                        (2, 3, 1, 0)).sum(axis=2, keepdims=True)
+    np.testing.assert_allclose(kern, want, rtol=1e-6)
+    y = model.apply({"params": params, "batch_stats": stats}, x1, train=False)
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_registry_lists_all_reference_names():
     """All 16 reference registry names (torch_train.py:100-148) resolve."""
     reference_names = [
