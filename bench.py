@@ -39,7 +39,9 @@ def _training_batch(batch_size: int, patch: int, data_dir: str = None):
 
 def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
                 warmup: int = 3, model_name: str = "zf_unet",
-                bf16: bool = True, data_dir: str = None) -> float:
+                bf16: bool = True, data_dir: str = None,
+                loss_name: str = "bce", optimizer: str = "sgd",
+                freeze_encoder: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -53,13 +55,25 @@ def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
     model = get_model(model_name)
     if bf16 and hasattr(model, "dtype"):
         model = dataclasses.replace(model, dtype=jnp.bfloat16)
-    tx = get_optimizer("sgd", 1e-3)
+    tx = get_optimizer(optimizer, 1e-3)
     state = create_train_state(model, tx, (batch_size, patch, patch, 3))
+
+    trainable_mask = None
+    if freeze_encoder:
+        # the frozen-then-finetune workload (BASELINE.json config #3)
+        from segtpu.compat.encoder_weights import encoder_paths
+        trainable_mask = jax.tree_util.tree_map(lambda _: True, state.params)
+        for path in encoder_paths(model_name, state.params):
+            node, ref = trainable_mask, state.params
+            for key in path[:-1]:
+                node, ref = node[key], ref[key]
+            node[path[-1]] = jax.tree_util.tree_map(lambda _: False, ref[path[-1]])
 
     x, y = _training_batch(batch_size, patch, data_dir)
     jax.block_until_ready(x)
 
-    step = make_train_step(get_loss("bce"), default_metrics(), donate=True)
+    step = make_train_step(get_loss(loss_name), default_metrics(), donate=True,
+                           trainable_mask=trainable_mask)
     rng = jax.random.PRNGKey(0)
 
     for _ in range(warmup):
@@ -111,9 +125,100 @@ def measure_cpu_baseline(batch_size: int = 4, patch: int = 512,
     return batch_size * steps / dt
 
 
+def measure_tiled_inference(patch: int = 512, image_size: int = 5000,
+                            batch_size: int = 32,
+                            model_name: str = "linknet34",
+                            bf16: bool = True) -> float:
+    """BASELINE.json config #5: INRIA-scale 5000^2 tiled inference
+    (ImageSlicer sliding window, pyramid-weighted blending, D4 TTA x8).
+    Returns seconds/image (warm)."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from segtpu.inference import predict_tiled
+    from segtpu.models import get_model
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import create_train_state, make_predict_step
+
+    model = get_model(model_name)
+    if bf16 and hasattr(model, "dtype"):
+        model = dataclasses.replace(model, dtype=jnp.bfloat16)
+    state = create_train_state(model, get_optimizer("sgd", 1e-3),
+                               (1, patch, patch, 3))
+    predict_step = make_predict_step()
+    predict_fn = lambda v: predict_step(state, v)
+
+    rng = np.random.RandomState(0)
+    image = (rng.rand(image_size, image_size, 3) * 255).astype(np.uint8)
+
+    # warm (compile + cache)
+    predict_tiled(image, predict_fn, patch_size=patch, batch_size=batch_size,
+                  tta=True)
+    t0 = time.perf_counter()
+    mask = predict_tiled(image, predict_fn, patch_size=patch,
+                         batch_size=batch_size, tta=True)
+    dt = time.perf_counter() - t0
+    assert mask.shape == image.shape[:2]
+    return dt
+
+
+# The five BASELINE.json configs, reproducible with one command each /
+# `--all` for the full table (VERDICT r1 item 6).
+BENCH_CONFIGS = {
+    "zf_unet-512": dict(kind="train", model_name="zf_unet", patch=512,
+                        batch_size=16, loss_name="bce", optimizer="sgd"),
+    "linknet34-bce_jaccard-adam-512": dict(
+        kind="train", model_name="linknet34", patch=512, batch_size=16,
+        loss_name="bce_jaccard", optimizer="adam"),
+    "unet11-finetune-512": dict(
+        kind="train", model_name="unet11", patch=512, batch_size=16,
+        loss_name="bce", optimizer="adam", freeze_encoder=True),
+    "tiramisu67-512-b4": dict(kind="train", model_name="tiramisu67",
+                              patch=512, batch_size=4, steps=10,
+                              loss_name="bce", optimizer="sgd"),
+    "inria-tiled-inference-5000": dict(kind="tiled"),
+}
+
+
+def run_config(name: str, data_dir=None) -> dict:
+    cfg = dict(BENCH_CONFIGS[name])
+    kind = cfg.pop("kind")
+    if kind == "tiled":
+        secs = measure_tiled_inference()
+        return {
+            "metric": f"{name} (linknet34@512, D4 TTA x8, pyramid merge)",
+            "value": round(secs, 2),
+            "unit": "sec/image",
+            "vs_baseline": None,
+        }
+    value = measure_tpu(data_dir=data_dir, **cfg)
+    vs_baseline = None
+    if name == "zf_unet-512":
+        baseline_path = os.path.join(os.path.dirname(__file__),
+                                     "bench_baseline.json")
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                vs_baseline = round(value / json.load(f)["cpu_images_per_sec"], 2)
+    return {
+        "metric": f"{name} bf16 train throughput",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs_baseline,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-cpu-baseline", action="store_true")
+    parser.add_argument("--all", action="store_true",
+                        help="Run all five BASELINE.json configs, one JSON "
+                             "line each")
+    parser.add_argument("--config", type=str, default=None,
+                        choices=sorted(BENCH_CONFIGS),
+                        help="Run one named BASELINE.json config")
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--patch", type=int, default=512)
     parser.add_argument("--steps", type=int, default=20)
@@ -134,6 +239,13 @@ def main():
             json.dump({"cpu_images_per_sec": ips, "patch": args.patch,
                        "model": "zf_unet", "note": "torch CPU reference"}, f)
         print(json.dumps({"cpu_images_per_sec": ips}))
+        return
+
+    if args.all or args.config:
+        names = [args.config] if args.config else sorted(BENCH_CONFIGS)
+        for name in names:
+            print(json.dumps(run_config(name, data_dir=args.data_dir)),
+                  flush=True)
         return
 
     value = measure_tpu(batch_size=args.batch_size, patch=args.patch,

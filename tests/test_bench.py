@@ -38,3 +38,30 @@ def test_measure_tpu_smoke_on_cpu():
     ips = bench.measure_tpu(batch_size=2, patch=32, steps=2, warmup=1,
                             model_name="unet", bf16=False)
     assert ips > 0
+
+
+def test_bench_configs_cover_baseline():
+    """--all reproduces every BASELINE.json config (VERDICT r1 item 6)."""
+    assert len(bench.BENCH_CONFIGS) == 5
+    kinds = [c["kind"] for c in bench.BENCH_CONFIGS.values()]
+    assert kinds.count("tiled") == 1
+    models = {c.get("model_name") for c in bench.BENCH_CONFIGS.values()}
+    assert {"zf_unet", "linknet34", "unet11", "tiramisu67"} <= models
+
+
+@pytest.mark.slow
+def test_measure_tpu_freeze_encoder_smoke():
+    """Config #3's frozen-encoder path builds the mask and steps."""
+    ips = bench.measure_tpu(batch_size=2, patch=32, steps=2, warmup=1,
+                            model_name="unet11", bf16=False,
+                            optimizer="adam", freeze_encoder=True)
+    assert ips > 0
+
+
+@pytest.mark.slow
+def test_measure_tiled_inference_smoke():
+    """Config #5's tiled-inference measurement on a small image."""
+    secs = bench.measure_tiled_inference(patch=32, image_size=96,
+                                         batch_size=8, model_name="unet",
+                                         bf16=False)
+    assert secs > 0
