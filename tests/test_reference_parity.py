@@ -311,6 +311,223 @@ def test_full_train_step_parity_vs_torch():
                                    atol=1e-5, err_msg=str(path))
 
 
+def _make_torch_loss(loss_name):
+    from lib.losses import BCEWithLogitsLossAndSmoothJaccard, BCEWithSigmoidLoss
+
+    lossf = (BCEWithSigmoidLoss() if loss_name == "bce"
+             else BCEWithLogitsLossAndSmoothJaccard())
+    for mod in [lossf] + list(getattr(lossf, "children", lambda: [])()):
+        for attr, default in (("size_average", True), ("reduce", True)):
+            if not hasattr(mod, attr):
+                object.__setattr__(mod, attr, default)
+    return lossf
+
+
+def _make_torch_optimizer(opt_name, params, lr):
+    if opt_name == "sgd":
+        return torch.optim.SGD(params, lr=lr)
+    if opt_name == "adam":
+        return torch.optim.Adam(params, lr=lr)
+    if opt_name == "rms":
+        return torch.optim.RMSprop(params, lr=lr)
+    raise ValueError(opt_name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("opt_name,loss_name", [
+    ("adam", "bce"), ("rms", "bce"), ("sgd", "bce_jaccard"),
+    ("adam", "bce_jaccard"),
+])
+def test_multi_step_trajectory_parity_vs_torch(opt_name, loss_name):
+    """Ten full training steps track the torch reference loop — loss curve,
+    final parameters, and BN running stats. Optimizer-state drift (adam/rms
+    moments, eps placement) and the combined bce_jaccard loss are where
+    silent divergence hides; one-step parity can't see them
+    (VERDICT r1 item 7)."""
+    import copy
+
+    from lib.models.unet import UNet as RefUNet
+
+    from segtpu.models.unet import UNet as OurUNet
+    from segtpu.ops import get_loss
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import TrainState, make_train_step
+
+    n_steps, batch, lr = 10, 4, 1e-3
+
+    torch.manual_seed(5)
+    ref = RefUNet()
+    ref.finaldrop.p = 0.0
+    ref.train()
+    torch.manual_seed(5)
+    ref0 = RefUNet()  # pristine copy of the initial weights
+
+    lossf = _make_torch_loss(loss_name)
+    opt = _make_torch_optimizer(opt_name, ref.parameters(), lr)
+
+    rng = np.random.RandomState(7)
+    batches = [
+        (rng.rand(batch, 32, 32, 3).astype(np.float32),
+         (rng.rand(batch, 32, 32, 1) > 0.5).astype(np.float32))
+        for _ in range(n_steps)
+    ]
+
+    # --- torch trajectory (reference loop semantics, torch_train.py:180-190)
+    torch_losses = []
+    for xb, yb in batches:
+        opt.zero_grad()
+        loss_t = lossf(ref(_t(xb)), _t(yb))
+        (batch * loss_t).backward()
+        opt.step()
+        torch_losses.append(float(loss_t.item()))
+
+    # --- our trajectory from the same initial weights
+    ours = OurUNet(final_dropout=0.0)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(batches[0][0]),
+                          train=False)
+    params, stats = _transplant_unet_weights(ref0, variables["params"])
+    batch_stats = copy.deepcopy(variables["batch_stats"])
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and k in dst:
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+    merge(batch_stats, stats)
+
+    state = TrainState.create(ours.apply, params, batch_stats,
+                              get_optimizer(opt_name, lr))
+    step = make_train_step(get_loss(loss_name), donate=False)
+    our_losses = []
+    for xb, yb in batches:
+        state, logs = step(state, (jnp.asarray(xb), jnp.asarray(yb)), lr,
+                           jax.random.PRNGKey(3))
+        our_losses.append(float(logs["loss"]))
+
+    # Tolerances: sgd is linear in the gradient, so cross-framework fp32
+    # conv-grad noise (~1e-6 rel) stays ~1e-6 in the update — tight rtol.
+    # adam/rms normalize by sqrt(second moment): on near-zero-grad params the
+    # update is +-lr * sign(g), so fp32 noise flips full +-lr steps and the
+    # trajectories separate at a rate set by the loss landscape, not by any
+    # semantic difference. The loose tolerance still catches systematic bugs
+    # (e.g. eps inside vs outside the sqrt diverges ~1e4x on fresh moments).
+    loss_rtol = 2e-4 if opt_name == "sgd" else 1e-2
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=loss_rtol,
+                               err_msg=f"{opt_name}/{loss_name} loss curves")
+
+    # Final parameters. sgd: strict elementwise. adam/rms: the update on a
+    # near-zero-grad element is a full +-lr-scale sign step, so isolated
+    # elements flip direction on fp32 noise — require 99.5% of elements
+    # within 20*lr and a small mean drift instead (systematic bugs like a
+    # wrong eps placement move EVERY element by ~10-100x lr).
+    exp_params, exp_stats = _transplant_unet_weights(ref, variables["params"])
+    if opt_name == "sgd":
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(exp_params)[0],
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                       err_msg=f"{opt_name}/{loss_name} {pa}")
+    else:
+        diffs = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(exp_params))
+        ])
+        frac_close = float((diffs <= 20 * lr).mean())
+        assert frac_close > 0.995, (opt_name, loss_name, frac_close)
+        assert float(diffs.mean()) < 2 * lr, (opt_name, loss_name, diffs.mean())
+    if opt_name == "sgd":
+        for path, exp in jax.tree_util.tree_flatten_with_path(exp_stats)[0]:
+            node = state.batch_stats
+            for k in path:
+                node = node[k.key]
+            np.testing.assert_allclose(np.asarray(node), np.asarray(exp),
+                                       atol=1e-4, err_msg=str(path))
+    # (No stats check for adam/rms: running stats track activations, which
+    # drift with the chaotically-separated params — the sgd case already
+    # pins the running-update semantics to 1e-4, and the loss-curve rtol
+    # above bounds the adaptive trajectories.)
+
+
+@pytest.mark.slow
+def test_shapes_convergence_parity_vs_torch():
+    """Both frameworks overfit the same deterministic shapes stream to the
+    same place: after 30 steps the torch reference and segtpu reach val IoU
+    within 0.02 of each other (identical weights, data, loss, optimizer)."""
+    import copy
+
+    from lib.models.unet import UNet as RefUNet
+
+    from segtpu.data.shapes import ShapesDataset
+    from segtpu.models.unet import UNet as OurUNet
+    from segtpu.ops import get_loss
+    from segtpu.ops.metrics import jaccard_score
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import TrainState, make_train_step
+
+    n_steps, batch, lr, patch = 30, 8, 1e-3, 64
+
+    ds = ShapesDataset(n_steps * batch, patch, seed=0)
+    batches = []
+    for s in range(n_steps):
+        xs, ys = zip(*[ds[s * batch + i] for i in range(batch)])
+        batches.append((np.stack(xs), np.stack(ys)))
+    val_ds = ShapesDataset(16, patch, seed=123)
+    vx, vy = zip(*[val_ds[i] for i in range(16)])
+    vx, vy = np.stack(vx), np.stack(vy)
+
+    torch.manual_seed(5)
+    ref = RefUNet()
+    ref.finaldrop.p = 0.0
+    torch.manual_seed(5)
+    ref0 = RefUNet()
+
+    lossf = _make_torch_loss("bce")
+    opt = _make_torch_optimizer("adam", ref.parameters(), lr)
+    ref.train()
+    for xb, yb in batches:
+        opt.zero_grad()
+        loss_t = lossf(ref(_t(xb)), _t(yb))
+        (batch * loss_t).backward()
+        opt.step()
+    ref.eval()
+    with torch.no_grad():
+        probs = torch.sigmoid(ref(_t(vx))).numpy()
+    inter = (probs * np.moveaxis(vy, -1, 1)).sum()
+    union = probs.sum() + vy.sum() - inter
+    torch_iou = float(inter / (union + 1e-7))
+
+    ours = OurUNet(final_dropout=0.0)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(batches[0][0]),
+                          train=False)
+    params, stats = _transplant_unet_weights(ref0, variables["params"])
+    batch_stats = copy.deepcopy(variables["batch_stats"])
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and k in dst:
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+    merge(batch_stats, stats)
+
+    state = TrainState.create(ours.apply, params, batch_stats,
+                              get_optimizer("adam", lr))
+    step = make_train_step(get_loss("bce"), donate=False)
+    for xb, yb in batches:
+        state, _ = step(state, (jnp.asarray(xb), jnp.asarray(yb)), lr,
+                        jax.random.PRNGKey(3))
+    logits = ours.apply({"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        jnp.asarray(vx), train=False)
+    our_iou = float(jaccard_score(logits, jnp.asarray(vy)))
+
+    assert torch_iou > 0.5, f"torch reference failed to learn ({torch_iou})"
+    assert abs(our_iou - torch_iou) < 0.02, (our_iou, torch_iou)
+
+
 def test_numpy_loss_mirror_parity():
     from lib import numpy_losses as ref_np
     from segtpu.ops import numpy_losses as our_np
