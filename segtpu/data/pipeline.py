@@ -35,6 +35,8 @@ class DataLoader:
         workers: int = 4,
         seed: int = 0,
         prefetch_batches: int = 4,
+        process_index: int = None,
+        process_count: int = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +46,20 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        # Multi-host: every process iterates the SAME seeded global index
+        # order but materializes only its contiguous slice of each global
+        # batch; segtpu.parallel.put_global reassembles the global array
+        # (process p's devices are contiguous along the mesh data axis, so
+        # slice p of the batch lands on process p's shard).
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if self.batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch {self.batch_size} not divisible by "
+                f"{self.process_count} processes")
+        self.local_batch_size = self.batch_size // self.process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -71,7 +87,8 @@ class DataLoader:
             pending: collections.deque = collections.deque()
 
             def submit(b):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                start = b * self.batch_size + self.process_index * self.local_batch_size
+                idxs = order[start:start + self.local_batch_size]
                 futs = [ex.submit(self.dataset.__getitem__, int(i)) for i in idxs]
                 pending.append(futs)
 
@@ -112,17 +129,17 @@ class Subset:
 def prefetch_to_device(iterator, sharding=None, size: int = 2):
     """Double-buffer host batches onto the device.
 
-    Stages ``size`` batches ahead with ``jax.device_put`` (sharded if a
-    sharding is given) so the host->HBM copy of batch N+1 overlaps the
-    compute of batch N.
+    Stages ``size`` batches ahead (sharded if a sharding is given) so the
+    host->HBM copy of batch N+1 overlaps the compute of batch N. In a
+    multi-process run the iterator must yield per-process shards;
+    ``segtpu.parallel.put_global`` assembles the global arrays.
     """
     queue = collections.deque()
 
     def put(batch):
         if sharding is not None:
-            return jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, sharding), batch
-            )
+            from segtpu.parallel import put_global
+            return put_global(batch, sharding)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     it = iter(iterator)

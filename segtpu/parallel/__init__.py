@@ -61,12 +61,35 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(batch, sharding):
+    """Host batch -> global device array under ``sharding``.
+
+    Single-process: plain ``device_put``. Multi-process (DCN): each process
+    holds only ITS shard of the global batch (its data-loader slice), and
+    ``jax.make_array_from_process_local_data`` assembles the logically-global
+    array from per-process shards — ``device_put`` of a host array onto
+    non-addressable devices would fail, and every host loading the full
+    global batch would defeat the DCN design (SURVEY.md §2.8)."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), batch
+        )
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)
+        ),
+        batch,
+    )
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch sharded over the data axis."""
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+    """Put a host batch onto the mesh sharded over the data axis. In a
+    multi-process run ``batch`` must be this process's shard (see
+    :func:`put_global`)."""
+    return put_global(batch, batch_sharding(mesh))
 
 
 def replicate(tree, mesh: Mesh):
-    sh = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+    """Replicate a host tree onto every mesh device (all processes must pass
+    the same values — true here because initialization is seed-deterministic)."""
+    return put_global(tree, replicated_sharding(mesh))
