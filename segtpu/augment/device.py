@@ -263,6 +263,207 @@ def random_saturation(key, x, limit: float = 0.3, prob: float = 0.5):
     return jnp.clip(alpha * x + (1.0 - alpha) * gray, 0, maxval)
 
 
+def random_invert(key, x, prob: float = 0.5):
+    """img.max() - img (reference aug:76-83)."""
+    fire = _bernoulli(key, prob, x.shape[0])
+    maxval = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+    return _per_sample_where(fire, maxval - x, x)
+
+
+def random_filter(key, x, limit: float = 0.5, prob: float = 0.5):
+    """Blur/sharpen blend (reference aug:351-371): alpha * filter2D(img,
+    ones(3,3)/9 * 0.2) + (1 - alpha) * img, clipped to the image max.
+    cv2.filter2D's default border is reflect-101."""
+    n = x.shape[0]
+    k1, k2 = _split(key, 2)
+    fire = _bernoulli(k1, prob, n)
+    alpha = limit * jax.random.uniform(k2, (n,))
+    alpha = jnp.where(fire, alpha, 0.0)[:, None, None, None]
+
+    c = x.shape[-1]
+    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    kernel = jnp.full((3, 3, 1, 1), (1.0 / 9.0) * 0.2, x.dtype)
+    kernel = jnp.tile(kernel, (1, 1, 1, c))
+    blurred = jax.lax.conv_general_dilated(
+        pad, kernel, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    maxval = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+    return jnp.clip(alpha * blurred + (1.0 - alpha) * x, 0, maxval)
+
+
+def shift_scale(key, x, m=None, limit: int = 4, prob: float = 0.25):
+    """Reflect-pad by ``limit``, crop a random square of side
+    size ~ U(size0, size0 + 2*limit) at a random offset, resize back
+    (reference aug:190-221) — expressed as one fused affine warp:
+    out(u, v) = in(u * s + dy - limit, v * s + dx - limit), s = size/size0."""
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    size0 = float(w)
+    size1 = size0 + 2 * limit
+    k1, k2, k3, k4 = _split(key, 4)
+    fire = _bernoulli(k1, prob, n)
+    size = jnp.round(jax.random.uniform(k2, (n,), minval=size0, maxval=size1))
+    dx = jnp.round(jax.random.uniform(k3, (n,)) * (size1 - size))
+    dy = jnp.round(jax.random.uniform(k4, (n,)) * (size1 - size))
+    s = jnp.where(fire, size / size0, 1.0)
+    dx = jnp.where(fire, dx - limit, 0.0)
+    dy = jnp.where(fire, dy - limit, 0.0)
+
+    zeros = jnp.zeros_like(s)
+    mats = jnp.stack([
+        jnp.stack([s, zeros, dx], -1),
+        jnp.stack([zeros, s, dy], -1),
+    ], -2)
+    x = jax.vmap(affine_warp)(x, mats)
+    if m is not None:
+        m = jax.vmap(affine_warp)(m, mats)
+    return x, m
+
+
+def _rgb_to_hsv_cv2(x):
+    """RGB (0-255 float) -> cv2-convention HSV: H in [0, 180), S/V in [0, 255]."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    s = jnp.where(v > 0, diff / jnp.where(v > 0, v, 1.0) * 255.0, 0.0)
+    h = jnp.where(
+        v == r, 60.0 * (g - b) / safe,
+        jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe,
+                  240.0 + 60.0 * (r - g) / safe))
+    h = jnp.where(diff > 0, h, 0.0)
+    h = jnp.where(h < 0, h + 360.0, h) / 2.0  # cv2 8-bit convention
+    return h, s, v
+
+
+def _hsv_to_rgb_cv2(h, s, v):
+    h = h * 2.0  # back to degrees
+    s = s / 255.0
+    c = v * s
+    hp = h / 60.0
+    xcomp = c * (1.0 - jnp.abs(hp % 2.0 - 1.0))
+    m = v - c
+    zeros = jnp.zeros_like(c)
+    idx = jnp.floor(hp).astype(jnp.int32) % 6
+    r = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+                   [c, xcomp, zeros, zeros, xcomp, c])
+    g = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+                   [xcomp, c, c, xcomp, zeros, zeros])
+    b = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+                   [zeros, zeros, xcomp, c, c, xcomp])
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
+
+
+def random_hsv_shift(key, x, hue_shift_limit=(-10, 10),
+                     sat_shift_limit=(-25, 25), val_shift_limit=(-25, 25),
+                     prob: float = 0.5):
+    """HSV channel shifts with saturating-add semantics
+    (reference aug:430-449; cv2.add saturates at [0, 255], H wraps its
+    8-bit-convention range)."""
+    n = x.shape[0]
+    k1, k2, k3, k4 = _split(key, 4)
+    fire = _bernoulli(k1, prob, n)[:, None, None]
+    dh = jax.random.uniform(k2, (n, 1, 1), minval=hue_shift_limit[0],
+                            maxval=hue_shift_limit[1])
+    ds = jax.random.uniform(k3, (n, 1, 1), minval=sat_shift_limit[0],
+                            maxval=sat_shift_limit[1])
+    dv = jax.random.uniform(k4, (n, 1, 1), minval=val_shift_limit[0],
+                            maxval=val_shift_limit[1])
+    h, s, v = _rgb_to_hsv_cv2(x)
+    h = jnp.clip(h + jnp.where(fire, dh, 0.0), 0.0, 180.0)
+    s = jnp.clip(s + jnp.where(fire, ds, 0.0), 0.0, 255.0)
+    v = jnp.clip(v + jnp.where(fire, dv, 0.0), 0.0, 255.0)
+    return _hsv_to_rgb_cv2(h, s, v)
+
+
+def clahe(x, clip_limit: float = 2.0, grid: int = 8):
+    """Contrast-limited adaptive histogram equalization on the luma channel
+    (reference aug:463-475: cv2 CLAHE on YUV's Y).
+
+    Device formulation: per-tile 256-bin histograms via scatter-add, excess
+    clipped and redistributed uniformly, per-tile CDF LUTs, bilinear
+    interpolation of the four surrounding tile LUTs per pixel — the cv2
+    algorithm expressed batched; differs from cv2 only at uint8
+    rounding/interp-order level. Images are 0-255 floats; H and W must be
+    divisible by ``grid``.
+    """
+    n, h, w, _ = x.shape
+    th, tw = h // grid, w // grid
+    tile_px = th * tw
+    nbins = 256
+
+    # The reference feeds RGB-ordered pixels into cv2's BGR2YUV
+    # (read_rgb -> CLAHE, common.py/aug:463), so its effective luma weights
+    # are R/B-swapped: Y = 0.114 R + 0.587 G + 0.299 B. Reproduced as-is.
+    y = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+    y8 = jnp.clip(jnp.round(y), 0, 255).astype(jnp.int32)
+
+    tiles = y8.reshape(n, grid, th, grid, tw).transpose(0, 1, 3, 2, 4)
+    tiles = tiles.reshape(n, grid * grid, tile_px)
+
+    def hist_one(t):
+        return jnp.zeros((nbins,), jnp.float32).at[t].add(1.0)
+
+    hists = jax.vmap(jax.vmap(hist_one))(tiles)  # (n, tiles, 256)
+
+    clip_at = jnp.maximum(jnp.floor(clip_limit * tile_px / nbins), 1.0)
+    clipped = jnp.minimum(hists, clip_at)
+    excess = (hists - clipped).sum(-1, keepdims=True)
+    # cv2's integer redistribution: every bin gets excess // nbins; the
+    # remaining (excess % nbins) counts go one each to bins 0, step, 2*step,
+    # ... with step = nbins // residual — bit-exact with cv2's LUTs.
+    redist = jnp.floor(excess / nbins)
+    resid = excess - redist * nbins
+    step = jnp.where(resid > 0,
+                     jnp.floor(nbins / jnp.maximum(resid, 1.0)),
+                     float(nbins + 1)).astype(jnp.int32)
+    i = jnp.arange(nbins, dtype=jnp.int32)
+    bonus = ((i % step == 0) & ((i // step).astype(jnp.float32) < resid)
+             ).astype(jnp.float32)
+    clipped = clipped + redist + bonus
+
+    # cv2: lut[i] = round(cdf[i] * (nbins - 1) / tile_px) (cdf sums to
+    # tile_px after redistribution; cvRound == round-half-even == jnp.round)
+    cdf = jnp.cumsum(clipped, axis=-1)
+    luts = jnp.clip(jnp.round(cdf * (nbins - 1.0) / tile_px), 0, 255)
+    luts = luts.reshape(n, grid, grid, nbins)
+
+    # bilinear interpolation between the 4 surrounding tile LUTs (cv2 border
+    # tiles clamp to the edge mapping)
+    # cv2 grid: txf = x / tile_w - 0.5 (no half-pixel offset)
+    yy = jnp.arange(h, dtype=jnp.float32) / th - 0.5
+    xx = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+    # weights from the UNCLAMPED floor (cv2 clamps indices after computing
+    # the weight, so border pixels blend a tile with itself)
+    y0u = jnp.floor(yy).astype(jnp.int32)
+    x0u = jnp.floor(xx).astype(jnp.int32)
+    wy = (yy - y0u)[None, :, None]
+    wx = (xx - x0u)[None, None, :]
+    y0 = jnp.clip(y0u, 0, grid - 1)
+    x0 = jnp.clip(x0u, 0, grid - 1)
+    y1 = jnp.clip(y0u + 1, 0, grid - 1)
+    x1 = jnp.clip(x0u + 1, 0, grid - 1)
+
+    def apply_one(lut, y8_img):
+        sub00 = lut[y0][:, x0]
+        sub01 = lut[y0][:, x1]
+        sub10 = lut[y1][:, x0]
+        sub11 = lut[y1][:, x1]
+        pick = lambda sub: jnp.take_along_axis(
+            sub, y8_img[..., None], axis=-1)[..., 0]
+        top = pick(sub00) * (1 - wx[0]) + pick(sub01) * wx[0]
+        bot = pick(sub10) * (1 - wx[0]) + pick(sub11) * wx[0]
+        return top * (1 - wy[0]) + bot * wy[0]
+
+    new_y = jax.vmap(apply_one)(luts, y8)
+
+    # put the equalized luma back: scale chroma-preserving (YUV U/V unchanged
+    # == add the luma delta to each RGB channel)
+    delta = (new_y - y)[..., None]
+    return jnp.clip(x + delta, 0, 255)
+
+
 def random_grayscale(key, x, prob: float = 0.5):
     """(reference aug:65-73)."""
     n = x.shape[0]

@@ -109,3 +109,105 @@ def test_normalize_matches_host(batch):
     got = np.asarray(dev.normalize(x))
     exp = NormalizeImage()(np.asarray(x))
     np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r1 item 10: device equivalents of the remaining host transforms
+# ---------------------------------------------------------------------------
+
+def test_random_invert(batch):
+    x, _ = batch
+    out = dev.random_invert(jax.random.PRNGKey(0), x, prob=1.0)
+    expected = np.asarray(x).max(axis=(1, 2, 3), keepdims=True) - np.asarray(x)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+    out0 = dev.random_invert(jax.random.PRNGKey(0), x, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(x))
+
+
+def test_random_filter_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32) * 255
+
+    out = np.asarray(dev.random_filter(jax.random.PRNGKey(2), jnp.asarray(x),
+                                       limit=1.0, prob=1.0))
+    kernel = np.ones((3, 3), np.float32) / 9 * 0.2
+    for i in range(2):
+        blurred = cv2.filter2D(x[i], -1, kernel)
+        # alpha is random per sample; solve it from one pixel and verify the
+        # whole image is the alpha-blend of blur and original
+        denom = blurred - x[i]
+        idx = np.unravel_index(np.argmax(np.abs(denom)), denom.shape)
+        alpha = (out[i][idx] - x[i][idx]) / denom[idx]
+        assert 0.0 <= alpha <= 1.0
+        expected = np.clip(alpha * blurred + (1 - alpha) * x[i], 0, x[i].max())
+        np.testing.assert_allclose(out[i], expected, atol=0.05)
+
+
+def test_shift_scale_identity_when_off(batch):
+    x, m = batch
+    xo, mo = dev.shift_scale(jax.random.PRNGKey(0), x, m, prob=0.0)
+    np.testing.assert_allclose(np.asarray(xo), np.asarray(x), atol=1e-3)
+
+
+def test_shift_scale_stays_in_range(batch):
+    x, m = batch
+    xo, mo = dev.shift_scale(jax.random.PRNGKey(1), x, m, prob=1.0)
+    assert xo.shape == x.shape and mo.shape == m.shape
+    assert np.asarray(xo).min() >= 0
+    assert np.asarray(xo).max() <= np.asarray(x).max() + 1e-3
+
+
+def test_hsv_roundtrip_is_identity():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32) * 255)
+    h, s, v = dev._rgb_to_hsv_cv2(x)
+    back = dev._hsv_to_rgb_cv2(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0.6)
+
+
+def test_rgb_to_hsv_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(4)
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    h, s, v = dev._rgb_to_hsv_cv2(jnp.asarray(img.astype(np.float32))[None])
+    ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    # cv2 quantizes to uint8; allow 1 level (+ hue wrap at 0/180)
+    dh = np.abs(np.asarray(h)[0] - ref[..., 0])
+    dh = np.minimum(dh, 180 - dh)
+    assert dh.max() <= 1.0
+    np.testing.assert_allclose(np.asarray(s)[0], ref[..., 1], atol=1.0)
+    np.testing.assert_allclose(np.asarray(v)[0], ref[..., 2], atol=1.0)
+
+
+def test_hsv_shift_prob0_is_near_identity(batch):
+    x, _ = batch
+    out = dev.random_hsv_shift(jax.random.PRNGKey(5), x, prob=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0.6)
+
+
+def test_clahe_matches_cv2_closely():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(6)
+    # low-contrast image so CLAHE does real work
+    img = (rng.rand(64, 64, 3) * 60 + 80).astype(np.uint8)
+
+    ours = np.asarray(dev.clahe(jnp.asarray(img.astype(np.float32))[None]))[0]
+
+    yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV)
+    c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    yuv[:, :, 0] = c.apply(yuv[:, :, 0])
+    expected = cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR).astype(np.float32)
+
+    # identical algorithm incl. cv2's integer excess-redistribution; the
+    # residual is cv2's uint8 Y/U/V quantization, which float math avoids
+    diff = np.abs(ours - expected)
+    assert diff.mean() < 1.0, diff.mean()
+    assert np.percentile(diff, 95) < 2.5
+
+
+def test_clahe_increases_contrast():
+    rng = np.random.RandomState(7)
+    img = jnp.asarray((rng.rand(1, 64, 64, 3) * 50 + 100).astype(np.float32))
+    out = dev.clahe(img)
+    assert float(jnp.std(out)) > float(jnp.std(img)) * 1.5
