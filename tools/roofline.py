@@ -1,0 +1,151 @@
+"""Roofline / MFU analysis for the training step (VERDICT r1 item 9).
+
+For a given model/config: compile the jitted train step, pull XLA cost
+analysis (FLOPs + HBM bytes accessed), measure wall time on the real chip,
+and report achieved TFLOP/s, achieved HBM GB/s, MFU and bandwidth-utilization
+against the chip's peaks. ``--sweep`` produces the per-model table recorded
+in BASELINE.md.
+
+Peaks default to TPU v5e: 197 TFLOP/s bf16, 819 GB/s HBM.
+
+Usage:
+    python tools/roofline.py --model zf_unet --patch 512 --batch 16
+    python tools/roofline.py --sweep
+    python tools/roofline.py --model zf_unet --profile-dir /tmp/trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBS = 819.0
+
+
+def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
+               loss_name: str = "bce", optimizer: str = "sgd",
+               remat: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from segtpu.data.shapes import DeviceShapes
+    from segtpu.models import get_model
+    from segtpu.ops import default_metrics, get_loss
+    from segtpu.train.optim import get_optimizer
+    from segtpu.train.state import create_train_state, make_train_step
+
+    model = get_model(model_name)
+    if bf16 and hasattr(model, "dtype"):
+        model = dataclasses.replace(model, dtype=jnp.bfloat16)
+    if remat and hasattr(model, "remat"):
+        model = dataclasses.replace(model, remat=True)
+    tx = get_optimizer(optimizer, 1e-3)
+    state = create_train_state(model, tx, (batch, patch, patch, 3))
+    x, y = DeviceShapes(patch).batch(jax.random.PRNGKey(0), batch)
+    step = make_train_step(get_loss(loss_name), default_metrics(), donate=True)
+    return step, state, (x, y)
+
+
+def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
+            bf16: bool = True, loss_name: str = "bce", optimizer: str = "sgd",
+            remat: bool = False, profile_dir: str | None = None) -> dict:
+    import jax
+
+    step, state, batch_xy = build_step(
+        model_name, patch, batch, bf16, loss_name, optimizer, remat)
+    rng = jax.random.PRNGKey(0)
+
+    lowered = step.lower(state, batch_xy, 1e-3, rng)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+
+    # warmup (donated state: rebuild each call chain)
+    for _ in range(3):
+        state, logs = step(state, batch_xy, 1e-3, rng)
+    float(jax.device_get(logs["loss"]))
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = step(state, batch_xy, 1e-3, rng)
+    float(jax.device_get(logs["loss"]))
+    dt = (time.perf_counter() - t0) / steps
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    tflops = flops / dt / 1e12
+    gbs = bytes_accessed / dt / 1e9
+    return {
+        "model": model_name,
+        "patch": patch,
+        "batch": batch,
+        "img_per_s": round(batch / dt, 1),
+        "step_ms": round(dt * 1e3, 2),
+        "gflop_per_step": round(flops / 1e9, 1),
+        "gb_per_step": round(bytes_accessed / 1e9, 2),
+        "intensity_flop_per_byte": round(flops / max(bytes_accessed, 1), 1),
+        "achieved_tflops": round(tflops, 2),
+        "achieved_hbm_gbs": round(gbs, 1),
+        "mfu_pct": round(100 * tflops / V5E_PEAK_BF16_TFLOPS, 1),
+        "hbm_util_pct": round(100 * gbs / V5E_PEAK_HBM_GBS, 1),
+    }
+
+
+SWEEP = [
+    # (model, patch, batch) — BASELINE.md per-model table shapes
+    ("unet", 224, 32),
+    ("zf_unet", 224, 32),
+    ("linknet34", 224, 32),
+    ("unet11", 224, 32),
+    ("squeezenet", 224, 32),
+    ("gcn34", 224, 32),
+    ("tiramisu67", 224, 16),
+    ("unet_abn", 224, 32),
+    ("zf_unet", 512, 16),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="zf_unet")
+    p.add_argument("--patch", type=int, default=512)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--loss", default="bce")
+    p.add_argument("--optimizer", default="sgd")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--profile-dir", default=None)
+    p.add_argument("--sweep", action="store_true")
+    args = p.parse_args()
+
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    if args.sweep:
+        for model, patch, batch in SWEEP:
+            r = analyze(model, patch, batch, steps=args.steps)
+            print(json.dumps(r), flush=True)
+        return
+
+    r = analyze(args.model, args.patch, args.batch, steps=args.steps,
+                bf16=not args.fp32, loss_name=args.loss,
+                optimizer=args.optimizer, remat=args.remat,
+                profile_dir=args.profile_dir)
+    print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
