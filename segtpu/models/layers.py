@@ -24,6 +24,13 @@ class BatchNormTorch(nn.Module):
     Under jit over a batch-sharded mesh the (N,H,W) reductions are global, so
     this is synchronized BN for free; ``axis_name`` adds explicit pmean for
     shard_map/pmap contexts (SURVEY.md §2.8).
+
+    ``stat_groups`` > 1: the input carries ``stat_groups`` s2d sub-positions
+    per true channel (C_in = stat_groups * features, sub-position-major, see
+    segtpu.ops.s2d) — statistics are combined across the sub-positions so
+    they equal the normal-space values exactly (equal counts per group),
+    and params/running stats keep their [features] shapes (checkpoint
+    compatible).
     """
 
     features: int
@@ -32,12 +39,15 @@ class BatchNormTorch(nn.Module):
     use_running_average: Optional[bool] = None
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    stat_groups: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        g = self.stat_groups
+        assert x.shape[-1] == g * self.features, (x.shape, g, self.features)
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ra_mean = self.variable(
@@ -52,14 +62,23 @@ class BatchNormTorch(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             mean, var = abn_ops.batch_mean_var(xf, self.axis_name)
+            if g > 1:
+                sub_mean = mean.reshape(g, self.features)
+                sub_msq = (var + jnp.square(mean)).reshape(g, self.features)
+                mean = jnp.mean(sub_mean, axis=0)
+                var = jnp.mean(sub_msq, axis=0) - jnp.square(mean)
             if not self.is_initializing():
-                count = x.size // x.shape[-1]
+                count = x.size // self.features
                 unbiased = var * (count / max(count - 1, 1))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
         rstd = jax.lax.rsqrt(var + self.eps)
-        y = (x - mean.astype(x.dtype)) * (scale * rstd).astype(x.dtype) + bias.astype(x.dtype)
+        w = scale * rstd
+        b = bias
+        if g > 1:
+            mean, w, b = (jnp.tile(v, g) for v in (mean, w, b))
+        y = (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
         return y
 
 
@@ -139,7 +158,12 @@ class InPlaceABN(nn.Module):
 
 
 def max_pool(x, window: int = 2, stride: int = 2, padding="VALID"):
-    """2x2 max pooling, NHWC (torch nn.MaxPool2d(2) equivalent)."""
+    """2x2 max pooling, NHWC (torch nn.MaxPool2d(2) equivalent).
+
+    Stays on ``nn.max_pool`` (select-and-scatter backward): the custom-VJP
+    alternative in :mod:`segtpu.ops.pool` measured SLOWER end-to-end on
+    zf_unet-512 (99.1 vs 108.3 img/s, +12 GB/step — its explicit residuals
+    and stacked backward defeat XLA fusions), see that module's docstring."""
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding=padding)
 
 
@@ -191,15 +215,28 @@ def pixel_shuffle(x, upscale: int):
 
 
 class Dropout2d(nn.Module):
-    """torch nn.Dropout2d equivalent: channel-wise spatial dropout, NHWC."""
+    """torch nn.Dropout2d equivalent: channel-wise spatial dropout, NHWC.
+
+    ``groups`` > 1 (s2d representation): one mask per TRUE channel, tiled
+    over the sub-position-major channel groups so every sub-position of a
+    channel drops together — exactly the normal-space channel mask."""
 
     rate: float
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        return nn.Dropout(
-            rate=self.rate, broadcast_dims=(1, 2), deterministic=deterministic
-        )(x)
+        if self.groups == 1:
+            return nn.Dropout(
+                rate=self.rate, broadcast_dims=(1, 2), deterministic=deterministic
+            )(x)
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        c = x.shape[-1] // self.groups
+        keep = jax.random.bernoulli(key, 1.0 - self.rate, (x.shape[0], 1, 1, c))
+        keep = jnp.tile(keep, (1, 1, 1, self.groups))
+        return jnp.where(keep, x / (1.0 - self.rate), jnp.zeros_like(x))
 
 
 # torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
@@ -245,6 +282,62 @@ class Conv(nn.Module):
             dtype=self.dtype,
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_conv_bias_init(fan_in),
+        )(x)
+
+
+class _S2DConvInner(nn.Module):
+    """Holds the DENSE conv params (same shapes/init as ``nn.Conv`` inside
+    :class:`Conv`) and applies them in s2d space via kernel expansion."""
+
+    features: int
+    kernel_size: int
+    true_in_features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from segtpu.ops.s2d import _axis_tables, s2d_kernel
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (k, k, self.true_in_features, self.features), jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        kp = s2d_kernel(kernel.astype(dtype))
+        A, _ = _axis_tables(k)  # odd k -> symmetric block-tap window
+        pad = A.shape[0] // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kp, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = self.true_in_features * k * k
+            bias = self.param(
+                "bias", torch_conv_bias_init(fan_in), (self.features,), jnp.float32
+            )
+            y = y + jnp.tile(bias, 4).astype(dtype)
+        return y
+
+
+class S2DConv(nn.Module):
+    """Stride-1 SAME conv evaluated in space-to-depth representation
+    (segtpu.ops.s2d): input/output are [N, H/2, W/2, 4C] with dense 128-lane
+    channels instead of 4x-padded [N, H, W, C] tiles. Parameter tree is
+    identical to :class:`Conv` (``Conv_0/{kernel,bias}`` with the dense
+    shapes), so checkpoints/transplants are unaffected."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _S2DConvInner(
+            self.features, self.kernel_size, x.shape[-1] // 4,
+            use_bias=self.use_bias, dtype=self.dtype, name="Conv_0",
         )(x)
 
 

@@ -140,21 +140,33 @@ class UNetABN(nn.Module):
 
 
 class _ZFDoubleConv(nn.Module):
-    """conv-BN-ReLU x2 + Dropout2d (reference zf_unet.py:5-32)."""
+    """conv-BN-ReLU x2 + Dropout2d (reference zf_unet.py:5-32).
+
+    ``s2d=True`` evaluates the block in space-to-depth representation
+    (same math, dense 128-lane channels — segtpu.ops.s2d): input/output are
+    s2d tensors, params identical to the normal path."""
 
     features: int
     dropout: float = 0.2
     batch_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from segtpu.models.layers import S2DConv
+
+        g = 4 if self.s2d else 1
         for i in range(2):
-            x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            if self.s2d:
+                x = S2DConv(self.features, 3, dtype=self.dtype, name=f"conv{i}")(x)
+            else:
+                x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
             if self.batch_norm:
-                x = BatchNormTorch(self.features, name=f"bn{i}")(x, use_running_average=not train)
+                x = BatchNormTorch(self.features, stat_groups=g, name=f"bn{i}")(
+                    x, use_running_average=not train)
             x = nn.relu(x)
-        x = Dropout2d(self.dropout)(x, deterministic=not train)
+        x = Dropout2d(self.dropout, groups=g)(x, deterministic=not train)
         return x
 
 
@@ -173,6 +185,7 @@ class ZF_UNET(nn.Module):
     dropout_val: float = 0.2
     batch_norm: bool = True
     remat: bool = False
+    s2d: bool = False  # evaluate the 512-res level in s2d space (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -180,14 +193,25 @@ class ZF_UNET(nn.Module):
         f = self.filters
         block_cls = (nn.remat(_ZFDoubleConv, static_argnums=(2,))
                      if self.remat else _ZFDoubleConv)
+        use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
-        def dc(feat, name):
+        def dc(feat, name, s2d=False):
             return block_cls(
-                feat, self.dropout_val, self.batch_norm, self.dtype, name=name
+                feat, self.dropout_val, self.batch_norm, self.dtype,
+                s2d=s2d, name=name,
             )
 
-        c224 = dc(f, "conv_224")(x, train)
-        c112 = dc(2 * f, "conv_112")(max_pool(c224), train)
+        if use_s2d:
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import (
+                d2s, s2d, s2d_concat, s2d_max_pool_exit, s2d_tile_channels)
+
+            c224s = dc(f, "conv_224", s2d=True)(s2d(x), train)
+            pooled = s2d_max_pool_exit(c224s)  # exits to normal space @ H/2
+        else:
+            c224 = dc(f, "conv_224")(x, train)
+            pooled = max_pool(c224)
+        c112 = dc(2 * f, "conv_112")(pooled, train)
         c56 = dc(4 * f, "conv_56")(max_pool(c112), train)
         c28 = dc(8 * f, "conv_28")(max_pool(c56), train)
         c14 = dc(16 * f, "conv_14")(max_pool(c28), train)
@@ -197,6 +221,13 @@ class ZF_UNET(nn.Module):
         u = dc(8 * f, "up_conv_28")(jnp.concatenate([upsample_nearest(u), c28], -1), train)
         u = dc(4 * f, "up_conv_56")(jnp.concatenate([upsample_nearest(u), c56], -1), train)
         u = dc(2 * f, "up_conv_112")(jnp.concatenate([upsample_nearest(u), c112], -1), train)
+        if use_s2d:
+            # nearest-2x upsample in s2d space is a channel tile; skip concat
+            # interleaves per sub-position; the head runs s2d too, then d2s.
+            u = dc(f, "up_conv_224", s2d=True)(
+                s2d_concat(s2d_tile_channels(u), c224s), train)
+            y = S2DConv(self.num_classes, 1, dtype=self.dtype, name="conv_final")(u)
+            return d2s(y).astype(jnp.float32)
         u = dc(f, "up_conv_224")(jnp.concatenate([upsample_nearest(u), c224], -1), train)
         return Conv(self.num_classes, 1, padding=0, dtype=self.dtype, name="conv_final")(
             u

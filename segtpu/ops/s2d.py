@@ -1,0 +1,116 @@
+"""Space-to-depth (s2d) execution of low-channel conv blocks.
+
+TPU arrays are tiled (8 sublanes x 128 lanes) with the minor (channel) dim
+padded to 128 lanes. The 512-resolution blocks of the U-Net family run at
+C=32, so every feature map physically occupies 4x its logical bytes in HBM
+— and these blocks are bandwidth-bound. Executing the SAME math on the
+space-to-depth representation ([N, H/2, W/2, 4C], dense 128-lane channels)
+removes the padding: measured 2.23x faster for the zf_unet level-0 double
+conv fwd+bwd at [16,512,512,*] (see BASELINE.md).
+
+Exact equivalence: s2d is a pixel permutation, and a stride-1 odd-k conv in
+normal space equals a conv in s2d space with a structurally-expanded kernel
+(`s2d_kernel`, verified bit-level against `lax.conv` in tests). BN stats,
+losses and metrics are permutation-invariant reductions, so training math
+is unchanged up to float reassociation.
+
+The reference has no analogue (single-GPU torch, NCHW); this is TPU-native
+design, not a port (SURVEY.md §7 "hard parts": input pipeline / layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def s2d(x):
+    """[N,H,W,C] -> [N,H/2,W/2,4C]; channel order (dy, dx, c) flattened."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def d2s(x):
+    """Inverse of :func:`s2d`: [N,H,W,4C] -> [N,2H,2W,C]."""
+    n, h, w, cc = x.shape
+    c = cc // 4
+    x = x.reshape(n, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def _axis_tables(k: int):
+    """Static (block-tap index, validity) tables for one spatial axis.
+
+    For output sub-position d_out and kernel tap a (SAME padding p=k//2),
+    the input row is r = 2*B + d_out + a - p for output block B; r falls in
+    block B + u at sub-position d_in with a = 2*u + d_in - d_out + p.
+    Returns A[u, d_in, d_out] (clipped tap) and V (validity mask) over the
+    minimal block-tap window."""
+    p = k // 2
+    lo = -((p + 1) // 2)          # a=0, d_in=0, d_out=1 -> u = (0 -1 -p)/2
+    hi = (k - 1 + 1 - p) // 2     # a=k-1, d_in=1, d_out=0
+    us = list(range(lo, hi + 1))
+    A = np.zeros((len(us), 2, 2), np.int32)
+    V = np.zeros((len(us), 2, 2), bool)
+    for i, u in enumerate(us):
+        for d_in in range(2):
+            for d_out in range(2):
+                a = 2 * u + d_in - d_out + p
+                V[i, d_in, d_out] = 0 <= a < k
+                A[i, d_in, d_out] = np.clip(a, 0, k - 1)
+    return A, V
+
+
+def s2d_kernel(k):
+    """Expand a dense HWIO kernel [k,k,C,O] (stride 1, SAME) to the s2d-space
+    kernel [K,K,4C,4O] with conv(s2d(x), k') == s2d(conv(x, k)).
+
+    Pure gathers over static index tables — differentiable, so the dense
+    kernel stays the trained parameter (checkpoint/transplant compatible)."""
+    kh = k.shape[0]
+    A, V = _axis_tables(kh)
+    U = A.shape[0]
+    # [U, 2(d_in), 2(d_out), V(v), 2(dx_in), 2(dx_out), C, O]
+    kp = k[A[:, :, :, None, None, None], A[None, None, None, :, :, :]]
+    mask = (V[:, :, :, None, None, None] & V[None, None, None, :, :, :])
+    kp = kp * jnp.asarray(mask, k.dtype)[..., None, None]
+    # -> [U, V, (dy_in, dx_in, C), (dy_out, dx_out, O)]
+    kp = kp.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    c, o = k.shape[2], k.shape[3]
+    return kp.reshape(U, U, 4 * c, 4 * o)
+
+
+def s2d_tile_channels(x, reps: int = 4):
+    """Broadcast per-true-channel data to all 4 sub-positions: the s2d form
+    of 2x nearest upsampling is exactly this tile ([..,C] -> [..,4C])."""
+    return jnp.tile(x, (1,) * (x.ndim - 1) + (reps,))
+
+
+def s2d_concat(a, b):
+    """Channel-concat in s2d space: interleave so the result equals
+    s2d(concat(A, B)) — each (dy,dx) group holds [a_c, b_c]."""
+    ca, cb = a.shape[-1] // 4, b.shape[-1] // 4
+    av = a.reshape(a.shape[:-1] + (4, ca))
+    bv = b.reshape(b.shape[:-1] + (4, cb))
+    out = jnp.concatenate([av, bv], axis=-1)
+    return out.reshape(a.shape[:-1] + (4 * (ca + cb),))
+
+
+def s2d_max_pool_exit(x):
+    """2x2/2 max pool expressed in s2d space: the pool window IS the s2d
+    block, so the result is a per-channel max over the 4 sub-positions —
+    and the output is already in normal space at half resolution.
+
+    Gradient routes to the FIRST maximal sub-position in row-major window
+    order (torch MaxPool2d argmax semantics; ties at 0.0 after ReLU are
+    common — ``jnp.maximum`` would SPLIT tied gradients instead). ``where``
+    selects are linear in their branches, so the ge-cascade below routes the
+    full cotangent to the first argmax, and the four operands are contiguous
+    channel slices that fuse into one elementwise pass."""
+    c = x.shape[-1] // 4
+    x00, x01, x10, x11 = (x[..., i * c:(i + 1) * c] for i in range(4))
+    top = jnp.where(x00 >= x01, x00, x01)
+    bot = jnp.where(x10 >= x11, x10, x11)
+    return jnp.where(top >= bot, top, bot)

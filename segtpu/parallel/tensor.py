@@ -64,20 +64,34 @@ def tp_shard_tree(tree: Any, mesh: Mesh, min_features: int = 64) -> Any:
     )
 
 
-def tp_shard_state(state, mesh: Mesh, min_features: int = 64):
-    """Re-place a fresh TrainState with TP-sharded params/batch_stats and a
+def tp_shard_state(state, mesh: Mesh, min_features: int = 64,
+                   fresh: bool = True):
+    """Re-place a TrainState with TP-sharded params/batch_stats and a
     matching optimizer state.
 
-    The optimizer state is re-initialized from the sharded params —
-    ``tx.init`` builds its moment trees with ``zeros_like``-style
-    constructors, so every params-shaped leaf inherits the sharding. Use
-    only on a freshly created state (resume paths restore then re-place).
+    ``fresh=True`` (initialization): the optimizer state is re-built from
+    the sharded params — ``tx.init`` constructs its moment trees with
+    ``zeros_like``-style constructors, so every params-shaped leaf inherits
+    the sharding. ``fresh=False`` (resume): the EXISTING moments are
+    preserved and re-placed leaf-by-leaf via ``optax.tree_map_params``
+    (non-param leaves such as counts/hyperparams are left for jit to place).
     """
+    import optax
+
     params = tp_shard_tree(state.params, mesh, min_features)
     batch_stats = tp_shard_tree(state.batch_stats, mesh, min_features)
     rep = NamedSharding(mesh, P())
     step = jax.device_put(state.step, rep)
-    opt_state = state.tx.init(params)
+    if fresh:
+        opt_state = state.tx.init(params)
+    else:
+        specs = tp_param_specs(state.params, mesh, min_features)
+        opt_state = optax.tree_map_params(
+            state.tx,
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+            state.opt_state,
+            specs,
+        )
     return state.replace(
         step=step, params=params, batch_stats=batch_stats, opt_state=opt_state
     )

@@ -63,6 +63,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="bfloat16 compute (params stay fp32)")
     parser.add_argument("--model-parallel", type=int, default=1,
                         help="Model-parallel mesh axis size")
+    parser.add_argument("--s2d", action="store_true",
+                        help="Space-to-depth execution of the low-channel "
+                             "high-res level (exact math, dense 128-lane "
+                             "channels; +31%% train throughput on "
+                             "zf_unet-512, see BASELINE.md)")
     parser.add_argument("--light-logging", action="store_true",
                         help="Skip per-epoch image grids and weight histograms")
     parser.add_argument("--no-tensorboard", action="store_true")
@@ -199,6 +204,11 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     if dtype is not None and hasattr(model, "dtype"):
         import dataclasses
         model = dataclasses.replace(model, dtype=dtype)
+    if args.s2d:
+        if not hasattr(model, "s2d"):
+            raise SystemExit(f"--s2d: model '{args.model}' has no s2d mode")
+        import dataclasses
+        model = dataclasses.replace(model, s2d=True)
 
     if writer is not None:
         # model structure summary (the add_graph equivalent,
@@ -236,7 +246,12 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         print("Encoder weights loaded from", args.encoder_weights)
     if state_initializer is not None:
         state = state_initializer(state, args)
-    state = replicate(state, mesh)
+    if args.model_parallel > 1:
+        # channel-shard params + optimizer moments over the model axis
+        from segtpu.parallel.tensor import tp_shard_state
+        state = tp_shard_state(state, mesh)
+    else:
+        state = replicate(state, mesh)
     trainable_mask = trainable_mask_fn(state) if trainable_mask_fn else None
     if args.freeze_encoder:
         from segtpu.compat.encoder_weights import encoder_paths
@@ -281,6 +296,11 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         state, start_epoch, train_history, best_loss = restore_snapshot(
             state, checkpoint_filename
         )
+        if args.model_parallel > 1:
+            # restored leaves are host arrays — re-place with TP shardings,
+            # preserving the restored optimizer moments
+            from segtpu.parallel.tensor import tp_shard_state
+            state = tp_shard_state(state, mesh, fresh=False)
         print("Resuming training from epoch", start_epoch, " and loss", best_loss)
 
     train_step = make_train_step(loss_fn, metrics, trainable_mask=trainable_mask,

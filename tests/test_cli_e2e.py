@@ -47,6 +47,20 @@ def test_train_cli_resume(tmp_path):
     assert history["epoch"] == [0, 1]
 
 
+def test_train_cli_model_parallel_and_resume(tmp_path):
+    """--model-parallel 2: dp x tp training + TP-preserving resume."""
+    from segtpu.train_cli import main
+
+    extra = ["-m", "unet", "--model-parallel", "2"]
+    history = main(_common(tmp_path, extra))
+    assert np.isfinite(history["loss"][0])
+    args = _common(tmp_path, extra + ["-r"])
+    args[args.index("-e") + 1] = "2"
+    history = main(args)
+    assert history["epoch"] == [0, 1]
+    assert np.isfinite(history["loss"][-1])
+
+
 def test_train_reg_cli(tmp_path):
     from segtpu.train_reg_cli import main
 

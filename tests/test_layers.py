@@ -30,6 +30,32 @@ def test_max_pool_matches_torch():
     np.testing.assert_allclose(got, exp, atol=1e-6)
 
 
+def test_max_pool_backward_matches_torch_with_ties():
+    """Custom-VJP pool routes dy to the FIRST row-major argmax like torch —
+    ties (common at 0.0 after ReLU) must not split the gradient."""
+    rng = np.random.RandomState(7)
+    # relu-like input: half the entries exactly zero -> many tied windows
+    x = rng.randn(2, 8, 8, 4).astype(np.float32)
+    x[x < 0] = 0.0
+    dy = rng.randn(2, 4, 4, 4).astype(np.float32)
+
+    def pooled_sum(xj):
+        return jnp.sum(layers.max_pool(xj) * jnp.asarray(dy))
+
+    got = np.asarray(jax.grad(pooled_sum)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    yt = torch.nn.functional.max_pool2d(xt, 2)
+    yt.backward(torch.from_numpy(dy).permute(0, 3, 1, 2))
+    exp = xt.grad.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_max_pool_odd_shapes_fall_back():
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 7, 7, 3).astype(np.float32))
+    assert layers.max_pool(x).shape == (1, 3, 3, 3)
+
+
 def test_upsample_bilinear_align_corners_matches_torch():
     rng = np.random.RandomState(2)
     x = rng.randn(1, 7, 9, 2).astype(np.float32)
