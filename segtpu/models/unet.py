@@ -24,16 +24,27 @@ from segtpu.models.layers import (
 
 
 class DoubleConv(nn.Module):
-    """(conv3x3 -> BN -> ReLU) x2 (reference unet.py:6-22)."""
+    """(conv3x3 -> BN -> ReLU) x2 (reference unet.py:6-22).
+
+    ``s2d=True`` evaluates the block in space-to-depth representation (same
+    math, dense 128-lane channels — segtpu.ops.s2d); params identical."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from segtpu.models.layers import S2DConv
+
         for i in range(2):
-            x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
-            x = BatchNormTorch(self.features, name=f"bn{i}")(x, use_running_average=not train)
+            if self.s2d:
+                x = S2DConv(self.features, 3, dtype=self.dtype, name=f"conv{i}")(x)
+            else:
+                x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = BatchNormTorch(
+                self.features, stat_groups=4 if self.s2d else 1, name=f"bn{i}"
+            )(x, use_running_average=not train)
             x = nn.relu(x)
         return x
 
@@ -66,15 +77,26 @@ def _pad_to_match(small, big):
 
 class _Up(nn.Module):
     """Upsample (nearest or deconv), pad-and-concat skip, double conv
-    (reference unet.py:48-67)."""
+    (reference unet.py:48-67).
+
+    ``s2d=True`` (nearest-upsample, non-ABN only): ``x1`` arrives in normal
+    space at half resolution (upsampling is a channel tile in s2d space),
+    ``x2`` arrives as the s2d skip; output stays s2d."""
 
     features: int
     abn: bool = False
     upsample: bool = True
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool):
+        if self.s2d:
+            from segtpu.ops.s2d import s2d_concat, s2d_tile_channels
+
+            x = s2d_concat(x2, s2d_tile_channels(x1))
+            return DoubleConv(self.features, dtype=self.dtype, s2d=True,
+                              name="conv")(x, train)
         if self.upsample:
             x1 = upsample_nearest(x1)
         else:
@@ -98,20 +120,37 @@ class UNet(nn.Module):
     upsample: bool = True
     abn: bool = False
     final_dropout: float = 0.5  # reference unet.py:93 Dropout2d(p=0.5)
+    s2d: bool = False  # s2d execution of the full-res level (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.n_filters
         block = DoubleConvABN if self.abn else DoubleConv
-        x1 = block(f, dtype=self.dtype, name="inc")(x, train)
-        x2 = block(f * 2, dtype=self.dtype, name="down1")(max_pool(x1), train)
+        use_s2d = (self.s2d and not self.abn and self.upsample
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import d2s, s2d, s2d_max_pool_exit
+
+            x1s = DoubleConv(f, dtype=self.dtype, s2d=True, name="inc")(s2d(x), train)
+            pooled = s2d_max_pool_exit(x1s)
+        else:
+            x1 = block(f, dtype=self.dtype, name="inc")(x, train)
+            pooled = max_pool(x1)
+        x2 = block(f * 2, dtype=self.dtype, name="down1")(pooled, train)
         x3 = block(f * 4, dtype=self.dtype, name="down2")(max_pool(x2), train)
         x4 = block(f * 8, dtype=self.dtype, name="down3")(max_pool(x3), train)
         x5 = block(f * 8, dtype=self.dtype, name="down4")(max_pool(x4), train)
         y = _Up(f * 4, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up1")(x5, x4, train)
         y = _Up(f * 2, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up2")(y, x3, train)
         y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up3")(y, x2, train)
+        if use_s2d:
+            y = _Up(f, dtype=self.dtype, s2d=True, name="up4")(y, x1s, train)
+            y = Dropout2d(self.final_dropout, groups=4, name="finaldrop")(
+                y, deterministic=not train)
+            y = S2DConv(self.n_classes, 1, dtype=self.dtype, name="outc")(y)
+            return d2s(y).astype(jnp.float32)
         y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up4")(y, x1, train)
         y = Dropout2d(self.final_dropout, name="finaldrop")(y, deterministic=not train)
         return Conv(self.n_classes, 1, padding=0, dtype=self.dtype, name="outc")(

@@ -78,6 +78,37 @@ def test_s2d_max_pool_exit_matches_torch_pool_with_ties():
         np.asarray(g), xt.grad.permute(0, 2, 3, 1).numpy(), atol=1e-6)
 
 
+class TestUNetS2D:
+    """unet s2d=True == s2d=False with identical params (eval path)."""
+
+    def test_param_tree_and_eval_equivalence(self):
+        import dataclasses
+
+        from segtpu.models import get_model
+
+        base = get_model("unet")
+        s2dm = dataclasses.replace(base, s2d=True)
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        vb = base.init(jax.random.PRNGKey(0), x, train=False)
+        vs = s2dm.init(jax.random.PRNGKey(0), x, train=False)
+        pb = jax.tree_util.tree_leaves_with_path(vb)
+        ps = jax.tree_util.tree_leaves_with_path(vs)
+        assert [p for p, _ in pb] == [p for p, _ in ps]
+
+        yb = base.apply(vb, x, train=False)
+        ys = s2dm.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yb), atol=2e-4)
+
+    def test_s2d_ignored_for_abn(self):
+        from segtpu.models.unet import UNet
+
+        m = UNet(abn=True, s2d=True)  # falls back to the normal path
+        x = jnp.zeros((1, 32, 32, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        assert m.apply(v, x, train=False).shape == (1, 32, 32, 1)
+
+
 class TestZFUnetS2D:
     """zf_unet s2d=True == s2d=False with identical params."""
 
