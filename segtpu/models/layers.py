@@ -160,10 +160,26 @@ class InPlaceABN(nn.Module):
 def max_pool(x, window: int = 2, stride: int = 2, padding="VALID"):
     """2x2 max pooling, NHWC (torch nn.MaxPool2d(2) equivalent).
 
-    Stays on ``nn.max_pool`` (select-and-scatter backward): the custom-VJP
-    alternative in :mod:`segtpu.ops.pool` measured SLOWER end-to-end on
-    zf_unet-512 (99.1 vs 108.3 img/s, +12 GB/step — its explicit residuals
-    and stacked backward defeat XLA fusions), see that module's docstring."""
+    The common 2x2/2 case is a pure where-cascade over the window view:
+    forward equals the max, and since ``where`` is linear in its branches
+    the cotangent routes to the FIRST maximal position in row-major order —
+    exactly torch's argmax semantics — with a fused elementwise backward
+    instead of XLA's slow select-and-scatter (~7 ms/step on zf_unet-512).
+    (A custom-VJP variant with explicit residuals measured SLOWER — see
+    segtpu/ops/pool.py; this formulation needs no custom rule.) Gated to
+    dense-lane channel counts (C >= 128): on lane-padded small-C tensors the
+    strided window slices cost more than select-and-scatter saves
+    (measured 110.1 -> 105.6 img/s ungated on zf_unet-512 normal path)."""
+    if (window == 2 and stride == 2 and padding == "VALID"
+            and x.shape[-1] >= 128
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        n, h, w, c = x.shape
+        v = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        x00, x01 = v[:, :, 0, :, 0, :], v[:, :, 0, :, 1, :]
+        x10, x11 = v[:, :, 1, :, 0, :], v[:, :, 1, :, 1, :]
+        top = jnp.where(x00 >= x01, x00, x01)
+        bot = jnp.where(x10 >= x11, x10, x11)
+        return jnp.where(top >= bot, top, bot)
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding=padding)
 
 
@@ -294,6 +310,7 @@ class _S2DConvInner(nn.Module):
     true_in_features: int
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    in_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
@@ -306,6 +323,10 @@ class _S2DConvInner(nn.Module):
         )
         dtype = self.dtype or x.dtype
         kp = s2d_kernel(kernel.astype(dtype))
+        if self.in_perm is not None:
+            # input arrives as a block-wise (lane-aligned) concat of s2d
+            # tensors; absorb the re-ordering into the tiny expanded kernel
+            kp = kp[:, :, jnp.asarray(self.in_perm, jnp.int32), :]
         A, _ = _axis_tables(k)  # odd k -> symmetric block-tap window
         pad = A.shape[0] // 2
         y = jax.lax.conv_general_dilated(
@@ -332,12 +353,14 @@ class S2DConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    in_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
         return _S2DConvInner(
             self.features, self.kernel_size, x.shape[-1] // 4,
-            use_bias=self.use_bias, dtype=self.dtype, name="Conv_0",
+            use_bias=self.use_bias, dtype=self.dtype, in_perm=self.in_perm,
+            name="Conv_0",
         )(x)
 
 

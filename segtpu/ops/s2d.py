@@ -90,12 +90,34 @@ def s2d_tile_channels(x, reps: int = 4):
 
 def s2d_concat(a, b):
     """Channel-concat in s2d space: interleave so the result equals
-    s2d(concat(A, B)) — each (dy,dx) group holds [a_c, b_c]."""
+    s2d(concat(A, B)) — each (dy,dx) group holds [a_c, b_c].
+
+    NOTE: the interleave lowers to unaligned strided copies (~5 ms/step on
+    zf_unet-512). The fast path is a PLAIN ``jnp.concatenate`` (lane-aligned)
+    plus :func:`blocked_perm` applied to the consuming conv's expanded
+    kernel — see ``S2DConv(in_perm=...)``. Kept for tests/fallback."""
     ca, cb = a.shape[-1] // 4, b.shape[-1] // 4
     av = a.reshape(a.shape[:-1] + (4, ca))
     bv = b.reshape(b.shape[:-1] + (4, cb))
     out = jnp.concatenate([av, bv], axis=-1)
     return out.reshape(a.shape[:-1] + (4 * (ca + cb),))
+
+
+def blocked_perm(sizes):
+    """Static input-channel permutation mapping a BLOCK-wise concat of s2d
+    tensors (each part keeps its own sub-position-major layout:
+    ``[4*C_0 | 4*C_1 | ...]``) onto the canonical s2d channel order
+    (sub-position-major over the dense concat ``sum(C_p)``).
+
+    ``kp[:, :, blocked_perm(sizes), :]`` makes an expanded kernel consume
+    the plain lane-aligned concat directly — no runtime interleave."""
+    total = sum(sizes)
+    perm = []
+    for p, cp in enumerate(sizes):
+        base = sum(sizes[:p])
+        for d in range(4):
+            perm.extend(d * total + base + c for c in range(cp))
+    return tuple(perm)
 
 
 def s2d_max_pool_exit(x):

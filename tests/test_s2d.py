@@ -56,6 +56,25 @@ def test_s2d_concat_and_tile_match_normal_space():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_blocked_perm_matches_interleaved_concat():
+    """conv over a plain blocked concat with a permuted kernel equals conv
+    over the canonical interleaved concat (what the dense model computes)."""
+    from segtpu.ops.s2d import blocked_perm
+
+    rng = np.random.RandomState(6)
+    a = jnp.asarray(rng.randn(2, 8, 8, 12).astype(np.float32))   # s2d, C=3
+    b = jnp.asarray(rng.randn(2, 8, 8, 20).astype(np.float32))   # s2d, C=5
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32))    # dense C=3+5
+
+    kp = s2d_kernel(w)
+    ref = _conv(s2d_concat(a, b), kp, kp.shape[0] // 2)
+
+    perm = blocked_perm((3, 5))
+    kp_plain = kp[:, :, jnp.asarray(perm), :]
+    got = _conv(jnp.concatenate([a, b], axis=-1), kp_plain, kp.shape[0] // 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_s2d_max_pool_exit_matches_torch_pool_with_ties():
     torch = pytest.importorskip("torch")
     rng = np.random.RandomState(2)
