@@ -53,6 +53,10 @@ def build_arg_parser():
                              "(data-parallel tiled inference)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute for inference")
+    parser.add_argument("--s2d", action="store_true",
+                        help="Space-to-depth execution of the low-channel "
+                             "high-res level (exact math; supported models "
+                             "only — see segtpu.ops.s2d)")
     return parser
 
 
@@ -80,6 +84,11 @@ def main(argv=None):
         import dataclasses
         import jax.numpy as jnp
         model = dataclasses.replace(model, dtype=jnp.bfloat16)
+    if args.s2d:
+        if not hasattr(model, "s2d"):
+            raise SystemExit(f"--s2d: model '{args.model}' has no s2d mode")
+        import dataclasses
+        model = dataclasses.replace(model, s2d=True)
     tx = get_optimizer("sgd", 1e-3)
     state = create_train_state(
         model, tx, (1, args.patch_size, args.patch_size, num_channels)

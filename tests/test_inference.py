@@ -84,6 +84,12 @@ def test_submit_cli_end_to_end(tmp_path):
             "-m", "unet", "-c", "unet_checkpoint.ckpt", "-p", "64", "-b", "8",
             "-dd", str(data_dir), "--submits-dir", str(tmp_path / "submits"),
         ])
+        # same checkpoint through the s2d execution path -> same masks
+        submit_cli.main([
+            "-m", "unet", "-c", "unet_checkpoint.ckpt", "-p", "64", "-b", "8",
+            "-dd", str(data_dir), "--s2d", "-x", "s2d_run",
+            "--submits-dir", str(tmp_path / "submits"),
+        ])
     finally:
         os.chdir(cwd)
 
@@ -93,6 +99,9 @@ def test_submit_cli_end_to_end(tmp_path):
     mask = cv2.imread(str(out_dir / "austin1.tif"), cv2.IMREAD_GRAYSCALE)
     assert mask.shape == (96, 96)
     assert set(np.unique(mask)) <= {0, 255}
+    s2d_mask = cv2.imread(str(tmp_path / "submits" / "s2d_run" / "austin1.tif"),
+                          cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(s2d_mask, mask)
 
 
 def test_predict_tiled_mesh_matches_single_device():
