@@ -31,6 +31,12 @@ class BatchNormTorch(nn.Module):
     they equal the normal-space values exactly (equal counts per group),
     and params/running stats keep their [features] shapes (checkpoint
     compatible).
+
+    ``stat_parts``: block-layout variant — the input is a PLAIN concat of
+    s2d tensors, part p spanning ``4 * stat_parts[p]`` channels with its own
+    sub-position-major layout (sum(stat_parts) == features). Used by dense
+    blocks whose running concat stays lane-aligned (segtpu.ops.s2d
+    ``blocked_perm``).
     """
 
     features: int
@@ -40,14 +46,21 @@ class BatchNormTorch(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     stat_groups: int = 1
+    stat_parts: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        g = self.stat_groups
-        assert x.shape[-1] == g * self.features, (x.shape, g, self.features)
+        parts = self.stat_parts
+        if parts is None and self.stat_groups > 1:
+            parts = (self.features,)
+        if parts is not None:
+            assert sum(parts) == self.features, (parts, self.features)
+            assert x.shape[-1] == 4 * self.features, (x.shape, self.features)
+        else:
+            assert x.shape[-1] == self.features, (x.shape, self.features)
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ra_mean = self.variable(
@@ -57,16 +70,34 @@ class BatchNormTorch(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
+        def _combine(sub, msq):
+            """blocked s2d stats [4*features] -> dense [features] (exact)."""
+            means, varis = [], []
+            off = 0
+            for cp in parts:
+                m = sub[off: off + 4 * cp].reshape(4, cp)
+                q = msq[off: off + 4 * cp].reshape(4, cp)
+                gm = jnp.mean(m, axis=0)
+                means.append(gm)
+                varis.append(jnp.mean(q, axis=0) - jnp.square(gm))
+                off += 4 * cp
+            return jnp.concatenate(means), jnp.concatenate(varis)
+
+        def _expand(v):
+            """dense [features] -> blocked s2d layout [4*features]."""
+            out, off = [], 0
+            for cp in parts:
+                out.append(jnp.tile(v[off: off + cp], 4))
+                off += cp
+            return jnp.concatenate(out)
+
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
             mean, var = abn_ops.batch_mean_var(xf, self.axis_name)
-            if g > 1:
-                sub_mean = mean.reshape(g, self.features)
-                sub_msq = (var + jnp.square(mean)).reshape(g, self.features)
-                mean = jnp.mean(sub_mean, axis=0)
-                var = jnp.mean(sub_msq, axis=0) - jnp.square(mean)
+            if parts is not None:
+                mean, var = _combine(mean, var + jnp.square(mean))
             if not self.is_initializing():
                 count = x.size // self.features
                 unbiased = var * (count / max(count - 1, 1))
@@ -76,8 +107,8 @@ class BatchNormTorch(nn.Module):
         rstd = jax.lax.rsqrt(var + self.eps)
         w = scale * rstd
         b = bias
-        if g > 1:
-            mean, w, b = (jnp.tile(v, g) for v in (mean, w, b))
+        if parts is not None:
+            mean, w, b = _expand(mean), _expand(w), _expand(b)
         y = (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
         return y
 

@@ -25,13 +25,30 @@ from segtpu.models.layers import (
 
 
 class DenseLayer(nn.Module):
-    """BN -> ReLU -> conv3x3 -> Dropout2d(0.2) (reference tiramisu.py:9-19)."""
+    """BN -> ReLU -> conv3x3 -> Dropout2d(0.2) (reference tiramisu.py:9-19).
+
+    ``in_parts`` (s2d mode): the input is a lane-aligned block concat of s2d
+    tensors with these true-channel sizes (segtpu.ops.s2d) — BN combines
+    stats per part and the conv absorbs the canonical re-ordering into its
+    expanded kernel; the output is a canonical s2d tensor."""
 
     growth_rate: int
     dtype: Optional[jnp.dtype] = None
+    in_parts: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.in_parts is not None:
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import blocked_perm
+
+            features = sum(self.in_parts)
+            y = BatchNormTorch(features, stat_parts=self.in_parts, name="norm")(
+                x, use_running_average=not train)
+            y = nn.relu(y)
+            y = S2DConv(self.growth_rate, 3, dtype=self.dtype,
+                        in_perm=blocked_perm(self.in_parts), name="conv")(y)
+            return Dropout2d(0.2, groups=4, name="drop")(y, deterministic=not train)
         y = BatchNormTorch(x.shape[-1], name="norm")(x, use_running_average=not train)
         y = nn.relu(y)
         y = Conv(self.growth_rate, 3, padding=1, dtype=self.dtype, name="conv")(y)
@@ -40,15 +57,28 @@ class DenseLayer(nn.Module):
 
 class DenseBlock(nn.Module):
     """Concatenative growth (reference tiramisu.py:22-44). ``upsample=True``
-    returns only the newly produced features."""
+    returns only the newly produced features.
+
+    ``in_parts`` (s2d mode, non-upsample only): the running concat stays a
+    lane-aligned block layout; each layer handles it via ``in_parts``."""
 
     growth_rate: int
     n_layers: int
     upsample: bool = False
     dtype: Optional[jnp.dtype] = None
+    in_parts: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.in_parts is not None:
+            assert not self.upsample
+            parts = tuple(self.in_parts)
+            for i in range(self.n_layers):
+                out = DenseLayer(self.growth_rate, self.dtype, in_parts=parts,
+                                 name=f"layer{i}")(x, train)
+                x = jnp.concatenate([x, out], axis=-1)
+                parts = parts + (self.growth_rate,)
+            return x
         new_features = []
         for i in range(self.n_layers):
             out = DenseLayer(self.growth_rate, self.dtype, name=f"layer{i}")(x, train)
@@ -61,12 +91,28 @@ class DenseBlock(nn.Module):
 
 class TransitionDown(nn.Module):
     """BN -> ReLU -> conv1x1 -> Dropout2d(0.2) -> maxpool2
-    (reference tiramisu.py:47-59)."""
+    (reference tiramisu.py:47-59).
+
+    ``in_parts`` (s2d mode): block-layout input; the maxpool is the s2d
+    exit pool, so the output is a NORMAL-space half-resolution tensor."""
 
     dtype: Optional[jnp.dtype] = None
+    in_parts: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.in_parts is not None:
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import blocked_perm, s2d_max_pool_exit
+
+            features = sum(self.in_parts)
+            y = BatchNormTorch(features, stat_parts=self.in_parts, name="norm")(
+                x, use_running_average=not train)
+            y = nn.relu(y)
+            y = S2DConv(features, 1, dtype=self.dtype,
+                        in_perm=blocked_perm(self.in_parts), name="conv")(y)
+            y = Dropout2d(0.2, groups=4, name="drop")(y, deterministic=not train)
+            return s2d_max_pool_exit(y)
         y = BatchNormTorch(x.shape[-1], name="norm")(x, use_running_average=not train)
         y = nn.relu(y)
         y = Conv(x.shape[-1], 1, padding=0, dtype=self.dtype, name="conv")(y)
@@ -108,17 +154,38 @@ class FCDenseNet(nn.Module):
     out_chans_first_conv: int = 48
     n_classes: int = 12
     remat: bool = True
+    s2d: bool = False  # s2d execution of the full-res level (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         Block = nn.remat(DenseBlock, static_argnums=(2,)) if self.remat else DenseBlock
-
-        out = Conv(self.out_chans_first_conv, 3, padding=1, dtype=self.dtype,
-                   name="firstconv")(x)
+        use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
         skips = []
-        for i, n in enumerate(self.down_blocks):
+        if use_s2d:
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import s2d
+
+            out = S2DConv(self.out_chans_first_conv, 3, dtype=self.dtype,
+                          name="firstconv")(s2d(x))
+            parts = (self.out_chans_first_conv,)
+            n0 = self.down_blocks[0]
+            out = Block(self.growth_rate, n0, dtype=self.dtype, in_parts=parts,
+                        name="denseDown0")(out, train)
+            parts = parts + (self.growth_rate,) * n0
+            # the full-res skip stays blocked-s2d; converted once where the
+            # (normal-space) up path consumes it
+            skips.append(("s2d", out, parts))
+            out = TransitionDown(dtype=self.dtype, in_parts=parts,
+                                 name="transDown0")(out, train)
+            down_rest = list(enumerate(self.down_blocks))[1:]
+        else:
+            out = Conv(self.out_chans_first_conv, 3, padding=1, dtype=self.dtype,
+                       name="firstconv")(x)
+            down_rest = list(enumerate(self.down_blocks))
+
+        for i, n in down_rest:
             out = Block(self.growth_rate, n, dtype=self.dtype,
                         name=f"denseDown{i}")(out, train)
             skips.append(out)
@@ -129,6 +196,9 @@ class FCDenseNet(nn.Module):
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
+            if isinstance(skip, tuple) and skip[0] == "s2d":
+                from segtpu.ops.s2d import d2s_parts
+                skip = d2s_parts(skip[1], skip[2])
             last = i == len(self.up_blocks) - 1
             out = TransitionUp(out.shape[-1], dtype=self.dtype,
                                name=f"transUp{i}")(out, skip)

@@ -120,6 +120,16 @@ def blocked_perm(sizes):
     return tuple(perm)
 
 
+def d2s_parts(x, parts):
+    """d2s of a BLOCK-layout concat of s2d tensors (sizes ``parts``):
+    converts each part independently and concatenates in dense order."""
+    outs, off = [], 0
+    for cp in parts:
+        outs.append(d2s(x[..., off: off + 4 * cp]))
+        off += 4 * cp
+    return jnp.concatenate(outs, axis=-1)
+
+
 def s2d_max_pool_exit(x):
     """2x2/2 max pool expressed in s2d space: the pool window IS the s2d
     block, so the result is a per-channel max over the 4 sub-positions —

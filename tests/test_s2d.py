@@ -128,6 +128,56 @@ class TestUNetS2D:
         assert m.apply(v, x, train=False).shape == (1, 32, 32, 1)
 
 
+class TestTiramisuS2D:
+    """FCDenseNet s2d=True == s2d=False (blocked dense-concat machinery:
+    per-part BN stats + blocked_perm convs + d2s_parts skip)."""
+
+    def _models(self):
+        import dataclasses
+
+        from segtpu.models.tiramisu import FCDenseNet
+
+        base = FCDenseNet(down_blocks=(2, 2), up_blocks=(2, 2),
+                          bottleneck_layers=2, growth_rate=8,
+                          out_chans_first_conv=12, n_classes=1, remat=False)
+        return base, dataclasses.replace(base, s2d=True)
+
+    def test_param_tree_and_eval_equivalence(self):
+        base, s2dm = self._models()
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+        vb = base.init(jax.random.PRNGKey(0), x, train=False)
+        vs = s2dm.init(jax.random.PRNGKey(0), x, train=False)
+        pb = jax.tree_util.tree_leaves_with_path(vb)
+        ps = jax.tree_util.tree_leaves_with_path(vs)
+        assert [p for p, _ in pb] == [p for p, _ in ps]
+
+        yb = base.apply(vb, x, train=False)
+        ys = s2dm.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yb), atol=2e-4)
+
+    def test_train_stats_equivalence(self):
+        base, s2dm = self._models()
+        rng = np.random.RandomState(8)
+        x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+        variables = base.init(jax.random.PRNGKey(0), x, train=False)
+        # dropout off: stochastic masks differ between layouts
+        import dataclasses  # rate is inside DenseLayer; run train with rng but
+        # compare batch_stats only on the DOWN level-0 blocks that s2d touches
+        _, ub = base.apply(variables, x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        _, us = s2dm.apply(variables, x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        # the FIRST dense layer's BN sees the un-dropped firstconv output in
+        # both layouts -> its stats must match regardless of masks
+        a = ub["batch_stats"]["denseDown0"]["layer0"]["norm"]
+        b = us["batch_stats"]["denseDown0"]["layer0"]["norm"]
+        np.testing.assert_allclose(np.asarray(a["mean"]), np.asarray(b["mean"]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a["var"]), np.asarray(b["var"]),
+                                   atol=1e-4)
+
+
 class TestZFUnetS2D:
     """zf_unet s2d=True == s2d=False with identical params."""
 
