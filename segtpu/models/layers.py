@@ -70,46 +70,28 @@ class BatchNormTorch(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
-        def _combine(sub, msq):
-            """blocked s2d stats [4*features] -> dense [features] (exact)."""
-            means, varis = [], []
-            off = 0
-            for cp in parts:
-                m = sub[off: off + 4 * cp].reshape(4, cp)
-                q = msq[off: off + 4 * cp].reshape(4, cp)
-                gm = jnp.mean(m, axis=0)
-                means.append(gm)
-                varis.append(jnp.mean(q, axis=0) - jnp.square(gm))
-                off += 4 * cp
-            return jnp.concatenate(means), jnp.concatenate(varis)
-
-        def _expand(v):
-            """dense [features] -> blocked s2d layout [4*features]."""
-            out, off = [], 0
-            for cp in parts:
-                out.append(jnp.tile(v[off: off + cp], 4))
-                off += cp
-            return jnp.concatenate(out)
-
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = x.astype(jnp.float32)
-            mean, var = abn_ops.batch_mean_var(xf, self.axis_name)
+            rstd = jax.lax.rsqrt(var + self.eps)
+            w = scale * rstd
+            b = bias
             if parts is not None:
-                mean, var = _combine(mean, var + jnp.square(mean))
-            if not self.is_initializing():
-                count = x.size // self.features
-                unbiased = var * (count / max(count - 1, 1))
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                mean = abn_ops._expand_parts(mean, parts)
+                w = abn_ops._expand_parts(w, parts)
+                b = abn_ops._expand_parts(b, parts)
+            return (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
 
-        rstd = jax.lax.rsqrt(var + self.eps)
-        w = scale * rstd
-        b = bias
-        if parts is not None:
-            mean, w, b = _expand(mean), _expand(w), _expand(b)
-        y = (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
+        # Training: custom-VJP BN — every channel reduction (fwd stats AND
+        # the d_scale/d_bias backward sums) is an MXU contraction on TPU
+        # (abn.bn_train), with the exact torch training backward.
+        y, mean, var = abn_ops.bn_train_stats(
+            x, scale, bias, eps=self.eps, parts=parts, axis_name=self.axis_name
+        )
+        if not self.is_initializing():
+            count = x.size // self.features
+            unbiased = var * (count / max(count - 1, 1))
+            ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+            ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         return y
 
 
@@ -342,10 +324,11 @@ class _S2DConvInner(nn.Module):
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
     in_perm: Optional[tuple] = None
+    in_parts: Optional[tuple] = None  # (('s2d'|'fold', c), ...) — see s2d.expand_kernel_parts
 
     @nn.compact
     def __call__(self, x):
-        from segtpu.ops.s2d import _axis_tables, s2d_kernel
+        from segtpu.ops.s2d import _axis_tables, expand_kernel_parts, s2d_kernel
 
         k = self.kernel_size
         kernel = self.param(
@@ -353,7 +336,11 @@ class _S2DConvInner(nn.Module):
             (k, k, self.true_in_features, self.features), jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        kp = s2d_kernel(kernel.astype(dtype))
+        if self.in_parts is not None:
+            # mixed s2d / folded-upsample blocked concat input
+            kp = expand_kernel_parts(kernel.astype(dtype), self.in_parts)
+        else:
+            kp = s2d_kernel(kernel.astype(dtype))
         if self.in_perm is not None:
             # input arrives as a block-wise (lane-aligned) concat of s2d
             # tensors; absorb the re-ordering into the tiny expanded kernel
@@ -385,13 +372,18 @@ class S2DConv(nn.Module):
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
     in_perm: Optional[tuple] = None
+    in_parts: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.in_parts is not None:
+            true_in = sum(c for _, c in self.in_parts)
+        else:
+            true_in = x.shape[-1] // 4
         return _S2DConvInner(
-            self.features, self.kernel_size, x.shape[-1] // 4,
+            self.features, self.kernel_size, true_in,
             use_bias=self.use_bias, dtype=self.dtype, in_perm=self.in_perm,
-            name="Conv_0",
+            in_parts=self.in_parts, name="Conv_0",
         )(x)
 
 

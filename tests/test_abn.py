@@ -184,3 +184,97 @@ def test_pallas_kernels_match_xla_path(xgb, activation):
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# bn_train: custom-VJP BatchNorm with MXU-dot channel reductions
+# ---------------------------------------------------------------------------
+
+def _bn_autodiff_reference(x, scale, bias, eps, parts):
+    """Plain autodiff-able BN (the pre-custom-VJP BatchNormTorch math)."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    msq = jnp.mean(jnp.square(xf), axis=axes)
+    if parts is not None:
+        mean, var = abn_ops._combine_parts(mean, msq, parts)
+    else:
+        var = msq - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    w = scale * rstd
+    b = bias
+    if parts is not None:
+        mean = abn_ops._expand_parts(mean, parts)
+        w = abn_ops._expand_parts(w, parts)
+        b = abn_ops._expand_parts(b, parts)
+    return (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+@pytest.mark.parametrize("parts", [None, (8,), (3, 5)])
+def test_bn_train_matches_autodiff(parts):
+    """Custom backward == autodiff through the stats (torch BN training
+    semantics), including the s2d grouped/blocked statistics layouts."""
+    rng = np.random.RandomState(0)
+    feats = 8
+    c = feats if parts is None else 4 * feats
+    x = jnp.asarray(rng.randn(4, 6, 6, c).astype(np.float32))
+    scale = jnp.asarray(rng.rand(feats).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(feats).astype(np.float32))
+    g = jnp.asarray(rng.randn(4, 6, 6, c).astype(np.float32))
+
+    y_new = abn_ops.bn_train(x, scale, bias, 1e-5, parts, None)
+    y_ref = _bn_autodiff_reference(x, scale, bias, 1e-5, parts)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), atol=1e-5)
+
+    def loss_new(x, s, b):
+        return jnp.sum(abn_ops.bn_train(x, s, b, 1e-5, parts, None) * g)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(_bn_autodiff_reference(x, s, b, 1e-5, parts) * g)
+
+    gn = jax.grad(loss_new, (0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_ref, (0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gn, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bn_train_dot_path_matches_reduce_path():
+    """The MXU-contraction reductions (forced on) equal the XLA reduces."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 40, 40, 8).astype(np.float32))  # M >= 4096
+    scale = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    g = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+
+    def run():
+        y = abn_ops.bn_train(x, scale, bias, 1e-5, None, None)
+        grads = jax.grad(
+            lambda *a: jnp.sum(abn_ops.bn_train(*a, 1e-5, None, None) * g),
+            (0, 1, 2),
+        )(x, scale, bias)
+        return (y, *grads)
+
+    try:
+        abn_ops.USE_DOT_STATS = False
+        ref = run()
+        abn_ops.USE_DOT_STATS = True
+        dot = run()
+    finally:
+        abn_ops.USE_DOT_STATS = None
+    for a, b_ in zip(ref, dot):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_bn_train_stats_running_values():
+    """bn_train_stats returns the dense biased batch stats (for the torch
+    running-average update) consistent with batch_mean_var."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 5, 5, 6).astype(np.float32))
+    scale = jnp.ones((6,), jnp.float32)
+    bias = jnp.zeros((6,), jnp.float32)
+    y, mean, var = abn_ops.bn_train_stats(x, scale, bias, eps=1e-5)
+    m_ref, v_ref = abn_ops.batch_mean_var(x)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(v_ref), atol=1e-6)
