@@ -32,7 +32,7 @@ class DoubleConv(nn.Module):
     features: int
     dtype: Optional[jnp.dtype] = None
     s2d: bool = False
-    in_perm: Optional[tuple] = None  # for conv0 when input is a blocked concat
+    in_parts: Optional[tuple] = None  # for conv0 when input is a blocked concat
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -41,7 +41,7 @@ class DoubleConv(nn.Module):
         for i in range(2):
             if self.s2d:
                 x = S2DConv(self.features, 3, dtype=self.dtype,
-                            in_perm=self.in_perm if i == 0 else None,
+                            in_parts=self.in_parts if i == 0 else None,
                             name=f"conv{i}")(x)
             else:
                 x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
@@ -95,14 +95,13 @@ class _Up(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, train: bool):
         if self.s2d:
-            from segtpu.ops.s2d import blocked_perm, s2d_tile_channels
-
-            # lane-aligned block concat [skip | upsampled]; the consuming
-            # conv absorbs the canonical re-ordering via its expanded kernel
-            x = jnp.concatenate([x2, s2d_tile_channels(x1)], axis=-1)
-            perm = blocked_perm((x2.shape[-1] // 4, x1.shape[-1]))
+            # lane-aligned concat [s2d skip | raw half-res tensor]; the
+            # nearest-upsample of x1 is folded into the consuming conv's
+            # expanded kernel (s2d.expand_kernel_parts) — no channel tile.
+            x = jnp.concatenate([x2, x1], axis=-1)
+            parts = (("s2d", x2.shape[-1] // 4), ("fold", x1.shape[-1]))
             return DoubleConv(self.features, dtype=self.dtype, s2d=True,
-                              in_perm=perm, name="conv")(x, train)
+                              in_parts=parts, name="conv")(x, train)
         if self.upsample:
             x1 = upsample_nearest(x1)
         else:
@@ -196,7 +195,7 @@ class _ZFDoubleConv(nn.Module):
     batch_norm: bool = True
     dtype: Optional[jnp.dtype] = None
     s2d: bool = False
-    in_perm: Optional[tuple] = None  # for conv0 when input is a blocked concat
+    in_parts: Optional[tuple] = None  # for conv0 when input is a blocked concat
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -206,7 +205,7 @@ class _ZFDoubleConv(nn.Module):
         for i in range(2):
             if self.s2d:
                 x = S2DConv(self.features, 3, dtype=self.dtype,
-                            in_perm=self.in_perm if i == 0 else None,
+                            in_parts=self.in_parts if i == 0 else None,
                             name=f"conv{i}")(x)
             else:
                 x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
@@ -243,16 +242,15 @@ class ZF_UNET(nn.Module):
                      if self.remat else _ZFDoubleConv)
         use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
-        def dc(feat, name, s2d=False, in_perm=None):
+        def dc(feat, name, s2d=False, in_parts=None):
             return block_cls(
                 feat, self.dropout_val, self.batch_norm, self.dtype,
-                s2d=s2d, in_perm=in_perm, name=name,
+                s2d=s2d, in_parts=in_parts, name=name,
             )
 
         if use_s2d:
             from segtpu.models.layers import S2DConv
-            from segtpu.ops.s2d import (
-                blocked_perm, d2s, s2d, s2d_max_pool_exit, s2d_tile_channels)
+            from segtpu.ops.s2d import d2s, s2d, s2d_max_pool_exit
 
             c224s = dc(f, "conv_224", s2d=True)(s2d(x), train)
             pooled = s2d_max_pool_exit(c224s)  # exits to normal space @ H/2
@@ -270,12 +268,13 @@ class ZF_UNET(nn.Module):
         u = dc(4 * f, "up_conv_56")(jnp.concatenate([upsample_nearest(u), c56], -1), train)
         u = dc(2 * f, "up_conv_112")(jnp.concatenate([upsample_nearest(u), c112], -1), train)
         if use_s2d:
-            # nearest-2x upsample in s2d space is a channel tile; the skip
-            # joins as a lane-aligned blocked concat whose re-ordering is
-            # absorbed into the conv's expanded kernel; s2d head, then d2s.
-            perm = blocked_perm((u.shape[-1], c224s.shape[-1] // 4))
-            u = dc(f, "up_conv_224", s2d=True, in_perm=perm)(
-                jnp.concatenate([s2d_tile_channels(u), c224s], axis=-1), train)
+            # nearest-2x upsample feeding the conv is FOLDED into the
+            # expanded kernel (s2d.expand_kernel_parts): the half-res tensor
+            # joins the s2d skip in a plain lane concat — no materialized
+            # channel tile, and 4x fewer MACs for the upsampled part.
+            u = dc(f, "up_conv_224", s2d=True,
+                   in_parts=(("fold", u.shape[-1]), ("s2d", c224s.shape[-1] // 4)))(
+                jnp.concatenate([u, c224s], axis=-1), train)
             y = S2DConv(self.num_classes, 1, dtype=self.dtype, name="conv_final")(u)
             return d2s(y).astype(jnp.float32)
         u = dc(f, "up_conv_224")(jnp.concatenate([upsample_nearest(u), c224], -1), train)

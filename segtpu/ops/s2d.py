@@ -103,6 +103,42 @@ def s2d_concat(a, b):
     return out.reshape(a.shape[:-1] + (4 * (ca + cb),))
 
 
+def expand_kernel_parts(kernel, parts):
+    """Expand a dense HWIO kernel for an input that is a PLAIN lane concat of
+    mixed-representation parts (in dense-channel order matching the kernel):
+
+      ('s2d', c)  — an s2d tensor of c true channels (4c lanes, its own
+                    sub-position-major layout), gathered via permutation;
+      ('fold', c) — a NORMAL-space tensor at the s2d grid resolution whose
+                    nearest-2x upsample feeds the conv: since all 4
+                    sub-positions of an upsampled pixel share one value, the
+                    4 expanded taps are PRE-SUMMED into one input channel.
+                    This consumes the raw half-res tensor directly — no
+                    materialized channel tile, and 4x fewer kernel MACs for
+                    that part than normal-space upsample+conv.
+
+    Returns the [K, K, sum(4c | c), 4*O] kernel for the blocked concat.
+    Pure gathers/sums over the tiny expanded kernel — differentiable, so the
+    dense kernel stays the trained parameter (checkpoints unaffected)."""
+    kp = s2d_kernel(kernel)  # [U, U, 4*Cd, 4*O], d_in-major canonical order
+    cd = kernel.shape[2]
+    cols = []
+    off = 0
+    for kind, c in parts:
+        idx = np.arange(c) + off
+        if kind == "s2d":
+            gather = (np.arange(4)[:, None] * cd + idx[None, :]).reshape(-1)
+            cols.append(kp[:, :, gather, :])
+        elif kind == "fold":
+            folded = sum(kp[:, :, d * cd + idx, :] for d in range(4))
+            cols.append(folded)
+        else:
+            raise ValueError(kind)
+        off += c
+    assert off == cd, (parts, cd)
+    return jnp.concatenate(cols, axis=2)
+
+
 def blocked_perm(sizes):
     """Static input-channel permutation mapping a BLOCK-wise concat of s2d
     tensors (each part keeps its own sub-position-major layout:

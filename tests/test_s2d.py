@@ -300,3 +300,34 @@ class TestZFUnetS2D:
             losses[name] = traj
         np.testing.assert_allclose(losses["s2d"], losses["normal"], rtol=0.05)
         assert losses["s2d"][-1] < losses["s2d"][0]
+
+
+@pytest.mark.parametrize("order", ["fold_first", "s2d_first"])
+def test_expand_kernel_parts_fold_matches_upsample_conv(order):
+    """The folded-upsample expanded kernel consumes the raw half-res tensor
+    directly: conv(concat-parts, expand_kernel_parts(K)) equals the
+    normal-space conv over concat(upsample_nearest(u), b) — with 4x fewer
+    MACs for the folded part and no materialized channel tile."""
+    from segtpu.models.layers import upsample_nearest
+    from segtpu.ops.s2d import expand_kernel_parts
+
+    rng = np.random.RandomState(7)
+    c1, c2, cout = 4, 3, 6
+    u = jnp.asarray(rng.randn(2, 8, 8, c1).astype(np.float32))    # half-res
+    b = jnp.asarray(rng.randn(2, 16, 16, c2).astype(np.float32))  # full-res
+    w = jnp.asarray(rng.randn(3, 3, c1 + c2, cout).astype(np.float32))
+
+    if order == "fold_first":
+        ref_in = jnp.concatenate([upsample_nearest(u), b], -1)
+        parts = (("fold", c1), ("s2d", c2))
+        blocked = jnp.concatenate([u, s2d(b)], -1)
+    else:
+        w = jnp.asarray(rng.randn(3, 3, c2 + c1, cout).astype(np.float32))
+        ref_in = jnp.concatenate([b, upsample_nearest(u)], -1)
+        parts = (("s2d", c2), ("fold", c1))
+        blocked = jnp.concatenate([s2d(b), u], -1)
+
+    ref = _conv(ref_in, w, 1)
+    kp = expand_kernel_parts(w, parts)
+    got = d2s(_conv(blocked, kp, kp.shape[0] // 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
