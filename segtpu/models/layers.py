@@ -178,8 +178,10 @@ def max_pool(x, window: int = 2, stride: int = 2, padding="VALID"):
     the cotangent routes to the FIRST maximal position in row-major order —
     exactly torch's argmax semantics — with a fused elementwise backward
     instead of XLA's slow select-and-scatter (~7 ms/step on zf_unet-512).
-    (A custom-VJP variant with explicit residuals measured SLOWER — see
-    segtpu/ops/pool.py; this formulation needs no custom rule.) Gated to
+    (Two custom-VJP variants measured SLOWER: explicit residuals in
+    segtpu/ops/pool.py, and an equality-routed recompute backward —
+    94.2 -> 98.3 ms/step on zf_unet-512 s2d; autodiff of the cascade wins
+    because XLA packs the predicate masks and fuses the backward.) Gated to
     dense-lane channel counts (C >= 128): on lane-padded small-C tensors the
     strided window slices cost more than select-and-scatter saves
     (measured 110.1 -> 105.6 img/s ungated on zf_unet-512 normal path)."""
@@ -255,16 +257,17 @@ class Dropout2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        if self.groups == 1:
-            return nn.Dropout(
-                rate=self.rate, broadcast_dims=(1, 2), deterministic=deterministic
-            )(x)
         if deterministic or self.rate == 0.0:
             return x
+        # One make_rng at THIS module's scope for every groups value, so the
+        # s2d (groups=4) and normal (groups=1) executions of the same model
+        # draw identical channel masks (delegating groups=1 to a child
+        # nn.Dropout would fold a different module path into the key).
         key = self.make_rng("dropout")
         c = x.shape[-1] // self.groups
         keep = jax.random.bernoulli(key, 1.0 - self.rate, (x.shape[0], 1, 1, c))
-        keep = jnp.tile(keep, (1, 1, 1, self.groups))
+        if self.groups > 1:
+            keep = jnp.tile(keep, (1, 1, 1, self.groups))
         return jnp.where(keep, x / (1.0 - self.rate), jnp.zeros_like(x))
 
 

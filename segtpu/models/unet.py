@@ -126,6 +126,10 @@ class UNet(nn.Module):
     abn: bool = False
     final_dropout: float = 0.5  # reference unet.py:93 Dropout2d(p=0.5)
     s2d: bool = False  # s2d execution of the full-res level (exact math)
+    s2d_deep: bool = False  # ALSO run the H/2 level in s2d — measured net-
+    # negative on v5e (the 4x expanded-kernel MACs at level 1 outweigh the
+    # dense-lane bandwidth win: zf_unet-512 94.2 -> 96.2 ms/step); exact
+    # math, kept as an opt-in + x64-exactness-tested.
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -134,6 +138,8 @@ class UNet(nn.Module):
         block = DoubleConvABN if self.abn else DoubleConv
         use_s2d = (self.s2d and not self.abn and self.upsample
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        deep = (use_s2d and self.s2d_deep
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         if use_s2d:
             from segtpu.models.layers import S2DConv
             from segtpu.ops.s2d import d2s, s2d, s2d_max_pool_exit
@@ -143,13 +149,24 @@ class UNet(nn.Module):
         else:
             x1 = block(f, dtype=self.dtype, name="inc")(x, train)
             pooled = max_pool(x1)
-        x2 = block(f * 2, dtype=self.dtype, name="down1")(pooled, train)
-        x3 = block(f * 4, dtype=self.dtype, name="down2")(max_pool(x2), train)
+        if deep:
+            # level-1 s2d: the H/2 level (C=2f, lane-padded) runs dense too
+            x2s = DoubleConv(f * 2, dtype=self.dtype, s2d=True, name="down1")(
+                s2d(pooled), train)
+            x3_in = s2d_max_pool_exit(x2s)
+        else:
+            x2 = block(f * 2, dtype=self.dtype, name="down1")(pooled, train)
+            x3_in = max_pool(x2)
+        x3 = block(f * 4, dtype=self.dtype, name="down2")(x3_in, train)
         x4 = block(f * 8, dtype=self.dtype, name="down3")(max_pool(x3), train)
         x5 = block(f * 8, dtype=self.dtype, name="down4")(max_pool(x4), train)
         y = _Up(f * 4, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up1")(x5, x4, train)
         y = _Up(f * 2, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up2")(y, x3, train)
-        y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up3")(y, x2, train)
+        if deep:
+            y = _Up(f, dtype=self.dtype, s2d=True, name="up3")(y, x2s, train)
+            y = d2s(y)  # normal space @ H/2 for up4's fold part
+        else:
+            y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up3")(y, x2, train)
         if use_s2d:
             y = _Up(f, dtype=self.dtype, s2d=True, name="up4")(y, x1s, train)
             y = Dropout2d(self.final_dropout, groups=4, name="finaldrop")(
@@ -233,6 +250,7 @@ class ZF_UNET(nn.Module):
     batch_norm: bool = True
     remat: bool = False
     s2d: bool = False  # evaluate the 512-res level in s2d space (exact math)
+    s2d_deep: bool = False  # ALSO run the H/2 level in s2d (see UNet.s2d_deep)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -248,6 +266,8 @@ class ZF_UNET(nn.Module):
                 s2d=s2d, in_parts=in_parts, name=name,
             )
 
+        deep = (use_s2d and self.s2d_deep
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         if use_s2d:
             from segtpu.models.layers import S2DConv
             from segtpu.ops.s2d import d2s, s2d, s2d_max_pool_exit
@@ -257,8 +277,15 @@ class ZF_UNET(nn.Module):
         else:
             c224 = dc(f, "conv_224")(x, train)
             pooled = max_pool(c224)
-        c112 = dc(2 * f, "conv_112")(pooled, train)
-        c56 = dc(4 * f, "conv_56")(max_pool(c112), train)
+        if deep:
+            # level-1 s2d: the H/2 level runs C=2f (lane-padded in normal
+            # space) — same machinery one level down, exact math.
+            c112s = dc(2 * f, "conv_112", s2d=True)(s2d(pooled), train)
+            c56_in = s2d_max_pool_exit(c112s)
+        else:
+            c112 = dc(2 * f, "conv_112")(pooled, train)
+            c56_in = max_pool(c112)
+        c56 = dc(4 * f, "conv_56")(c56_in, train)
         c28 = dc(8 * f, "conv_28")(max_pool(c56), train)
         c14 = dc(16 * f, "conv_14")(max_pool(c28), train)
         c7 = dc(32 * f, "conv_7")(max_pool(c14), train)
@@ -266,7 +293,13 @@ class ZF_UNET(nn.Module):
         u = dc(16 * f, "up_conv_14")(jnp.concatenate([upsample_nearest(c7), c14], -1), train)
         u = dc(8 * f, "up_conv_28")(jnp.concatenate([upsample_nearest(u), c28], -1), train)
         u = dc(4 * f, "up_conv_56")(jnp.concatenate([upsample_nearest(u), c56], -1), train)
-        u = dc(2 * f, "up_conv_112")(jnp.concatenate([upsample_nearest(u), c112], -1), train)
+        if deep:
+            u = dc(2 * f, "up_conv_112", s2d=True,
+                   in_parts=(("fold", u.shape[-1]), ("s2d", c112s.shape[-1] // 4)))(
+                jnp.concatenate([u, c112s], axis=-1), train)
+            u = d2s(u)  # normal space @ H/2 for the level-0 fold part
+        else:
+            u = dc(2 * f, "up_conv_112")(jnp.concatenate([upsample_nearest(u), c112], -1), train)
         if use_s2d:
             # nearest-2x upsample feeding the conv is FOLDED into the
             # expanded kernel (s2d.expand_kernel_parts): the half-res tensor

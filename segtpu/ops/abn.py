@@ -311,17 +311,51 @@ def _pallas_channel_sums(a2d, b2d=None, tile_m: int = 2048):
     return s.reshape(c), q.reshape(c)
 
 
+# Staged reduction: fold the row dim in halves with full-rate elementwise
+# adds (log2 steps) until small, then one final reduce. XLA's one-shot
+# column-reduce emitter measured ~90-150 GB/s on these shapes; elementwise
+# adds stream at HBM speed. Enable with SEGTPU_STAGED_STATS=1 /
+# USE_STAGED_STATS=True for A/B.
+
+USE_STAGED_STATS: Optional[bool] = None
+
+
+def _staged_stats_enabled(m: int) -> bool:
+    import os
+    env = os.environ.get("SEGTPU_STAGED_STATS")
+    flag = USE_STAGED_STATS if env is None else env == "1"
+    return bool(flag) and m >= 65536 and (m & (m - 1)) == 0
+
+
+def _staged_col_sums(a2d, b2d=None, keep_rows: int = 1024):
+    """Reduce over the GROUPS axis of a (groups, keep_rows, C) view first —
+    the [keep_rows, C] accumulator tile makes the inner loop pure
+    full-width vector adds over contiguous memory — then fold the small
+    remainder."""
+    m, c = a2d.shape
+    af = a2d.astype(jnp.float32)
+    bf = af if b2d is None else b2d.astype(jnp.float32)
+    a3 = af.reshape(-1, keep_rows, c)
+    q3 = (af * bf).reshape(-1, keep_rows, c)
+    s1 = jnp.sum(a3, axis=0)
+    q1 = jnp.sum(q3, axis=0)
+    return jnp.sum(s1, axis=0), jnp.sum(q1, axis=0)
+
+
 def _bn_channel_sums(a2d, b2d=None):
     """(sum(a), sum(a*b)) over rows — b None means b = a (sum, sumsq)."""
     m, c = a2d.shape
     if _pallas_stats_enabled(m, c):
         s, q = _pallas_channel_sums(a2d, b2d)
+    elif _staged_stats_enabled(m):
+        s, q = _staged_col_sums(a2d, b2d)
     elif _dot_stats_enabled(m, c):
         s = _col_sum_dot(a2d)
         q = _col_dot_diag(a2d, a2d if b2d is None else b2d)
     else:
-        af = a2d.astype(jnp.float32)
-        bf = af if b2d is None else b2d.astype(jnp.float32)
+        acc_t = jnp.promote_types(a2d.dtype, jnp.float32)
+        af = a2d.astype(acc_t)
+        bf = af if b2d is None else b2d.astype(acc_t)
         s = jnp.sum(af, axis=0)
         q = jnp.sum(af * bf, axis=0)
     return s, q

@@ -331,3 +331,40 @@ def test_expand_kernel_parts_fold_matches_upsample_conv(order):
     kp = expand_kernel_parts(w, parts)
     got = d2s(_conv(blocked, kp, kp.shape[0] // 2))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("model_name", ["unet", "zf_unet"])
+def test_deep_s2d_exact_in_float64(model_name):
+    """s2d execution (levels 0 AND 1: folds, blocked stats, pool exits) is
+    EXACTLY the normal-path math — bit-identical forward and ~1e-11 grads
+    in float64, where BN-stat rounding cannot hide a wiring bug."""
+    import dataclasses
+    from segtpu.models import get_model
+
+    with jax.enable_x64(True):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float64))
+        m0 = get_model(model_name)
+        m1 = dataclasses.replace(m0, s2d=True, s2d_deep=True)
+        v = m0.init(jax.random.PRNGKey(0), x, True)
+        v = jax.tree.map(
+            lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a, v)
+
+        def fwd(m):
+            out, _ = m.apply(v, x, True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+            return out
+
+        assert float(jnp.max(jnp.abs(fwd(m0) - fwd(m1)))) < 1e-12
+
+        def loss(m, params):
+            vv = {"params": params, "batch_stats": v["batch_stats"]}
+            out, _ = m.apply(vv, x, True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.mean(out ** 2)
+
+        g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+        g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+        errs = jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1))
+        assert max(errs) < 1e-9, max(errs)
