@@ -57,7 +57,8 @@ def measure_tpu(batch_size: int = 16, patch: int = 512, steps: int = 20,
         model = dataclasses.replace(model, dtype=jnp.bfloat16)
     if s2d and hasattr(model, "s2d"):
         # space-to-depth execution of the low-channel 512-res level — exact
-        # math, dense 128-lane channels (segtpu.ops.s2d; +31% on this config)
+        # math, dense 128-lane channels + folded nearest-upsample
+        # (segtpu.ops.s2d; +54% on this config)
         model = dataclasses.replace(model, s2d=True)
     tx = get_optimizer(optimizer, 1e-3)
     state = create_train_state(model, tx, (batch_size, patch, patch, 3))

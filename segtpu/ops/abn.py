@@ -414,6 +414,13 @@ def _bn_train_bwd(eps, parts, axis_name, res, g):
     c_e = x.shape[-1]
     m = x.size // c_e
     x2d = x.reshape(m, c_e)
+    # NOTE (measured): XLA loop-fuses the entire upstream elementwise chain
+    # (relu-mask recompute, dropout select, concat-split, d2s pad/add
+    # cascades) INTO this reduce fusion (trace: 4.8 ms / 6.1M est. cycles
+    # for a 256 MB reduction). Barrier-materializing g first to get a pure
+    # fast reduce was tried and LOST (94.2 -> 100.8 ms/step, +5.5 GB
+    # traffic): the extra cotangent writes cost more than the slow fused
+    # emitter. Left un-barriered deliberately.
     g2d = g.reshape(m, c_e)
     edz_sub, egx_sub = _bn_channel_sums(g2d, x2d)
     if axis_name is not None:
@@ -447,12 +454,30 @@ def _bn_train_bwd(eps, parts, axis_name, res, g):
 bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
 
 
+# Forward-side barrier experiment: XLA fuses the producing CONV with the
+# stats epilogue (kOutput fusion rooted at conv_general_dilated, trace
+# ~2.9 ms each) — the combined emitter throttles both. A barrier splits
+# them into a fast conv and a pure convert+reduce.
+
+USE_BN_FWD_BARRIER: Optional[bool] = None
+
+
+def _bn_fwd_barrier_enabled() -> bool:
+    import os
+    env = os.environ.get("SEGTPU_BN_FWD_BARRIER")
+    if env is not None:
+        return env == "1"
+    return bool(USE_BN_FWD_BARRIER)
+
+
 def bn_train_stats(x, scale, bias, *, eps=1e-5, parts=None, axis_name=None):
     """Differentiable training BN + the dense (mean, var) for running stats.
 
     The stats are recomputed outside the custom-VJP op from the same sums —
     XLA CSEs the duplicate dots, so there is no extra pass; keeping them
     outside the VJP means their (unused) cotangents never exist."""
+    if _bn_fwd_barrier_enabled():
+        x = lax.optimization_barrier(x)
     y = bn_train(x, scale, bias, eps, parts, axis_name)
     xf = lax.stop_gradient(x)
     c_e = x.shape[-1]
