@@ -186,21 +186,59 @@ class ImageSlicer:
                    self.margin_left:self.image_width + self.margin_left]
 
     def merge_device(self, tiles: jnp.ndarray) -> jnp.ndarray:
-        """On-device merge: one scatter-add over the tile batch (T, t, t, C).
+        """On-device merge of the tile batch (T, t, t, C).
 
         Equivalent to :meth:`merge` up to fp32 accumulation; stays on device
         so tiled inference never round-trips per tile.
+
+        When the tile size is a multiple of the step (the standard
+        half-overlap sweep), the crops form a regular grid and the merge is
+        SCATTER-FREE: tiles split into (t/step)^2 groups of disjoint,
+        abutting tiles, each group placed by pure reshape onto an offset
+        canvas and summed — full-bandwidth adds instead of XLA's
+        sort-and-loop scatter (trace: the scatter path cost ~4.2 s of the
+        5000^2 INRIA sweep: 3.5 s `while` + 0.56 s index `sort`). The
+        normalization map is data-independent and precomputed on host.
         """
         th, tw = self.tile_size, self.tile_size
+        w = jnp.asarray(self.compute_weight(self.tile_size), jnp.float32)[None, :, :, None]
+        ny, nx = self._grid_shape()
+        if (self.tile_size % self.tile_step == 0
+                and ny * nx == len(self.crops)):
+            norm_inv = jnp.asarray(self._norm_inv_host(), jnp.float32)
+            return _merge_regular(
+                tiles.astype(jnp.float32), w, norm_inv,
+                ny, nx, self.tile_size, self.tile_step,
+                self.target_shape[0], self.target_shape[1],
+                self.margin_top, self.margin_left,
+                self.image_height, self.image_width,
+            )
         ys = jnp.asarray([c[1] for c in self.crops], jnp.int32)
         xs = jnp.asarray([c[0] for c in self.crops], jnp.int32)
-        w = jnp.asarray(self.compute_weight(self.tile_size), jnp.float32)[None, :, :, None]
         return _merge_scatter(
             tiles.astype(jnp.float32), ys, xs, w,
             self.target_shape[0], self.target_shape[1],
             self.margin_top, self.margin_left,
             self.image_height, self.image_width,
         )
+
+    def _grid_shape(self):
+        """(ny, nx) of the regular crop grid (crops are y-outer row-major)."""
+        xs = {c[0] for c in self.crops}
+        ys = {c[1] for c in self.crops}
+        return len(ys), len(xs)
+
+    def _norm_inv_host(self) -> np.ndarray:
+        """1 / sum-of-weights per output pixel (data-independent), float64
+        on host, cropped to the image window."""
+        w = self.compute_weight(self.tile_size).astype(np.float64)
+        H, W = self.target_shape[0], self.target_shape[1]
+        norm = np.zeros((H, W), np.float64)
+        for x, y, tw, th in self.crops:
+            norm[y:y + th, x:x + tw] += w
+        norm = norm[self.margin_top:self.image_height + self.margin_top,
+                    self.margin_left:self.image_width + self.margin_left]
+        return (1.0 / np.maximum(norm, np.finfo(np.float32).eps))[..., None]
 
     def _mean(self, tile_size: int) -> np.ndarray:
         return np.ones((tile_size, tile_size), dtype=np.float32)
@@ -211,6 +249,33 @@ class ImageSlicer:
 
 
 import functools
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _merge_regular(tiles, w, norm_inv, ny, nx, t, step, H, W,
+                   m_top, m_left, img_h, img_w):
+    """Scatter-free merge for a regular grid (y-outer row-major crops at
+    multiples of ``step``; ``r = t // step`` groups per axis)."""
+    r = t // step
+    c = tiles.shape[-1]
+    wt = tiles * w
+    view = wt.reshape(ny, nx, t, t, c)
+    acc = jnp.zeros((H, W, c), jnp.float32)
+    for gy in range(r):
+        my = len(range(gy, ny, r))
+        for gx in range(r):
+            mx = len(range(gx, nx, r))
+            if my == 0 or mx == 0:
+                continue
+            sub = view[gy::r, gx::r]                      # (my, mx, t, t, c)
+            canvas = sub.transpose(0, 2, 1, 3, 4).reshape(my * t, mx * t, c)
+            oy, ox = gy * step, gx * step
+            acc = acc + jnp.pad(
+                canvas,
+                ((oy, H - oy - my * t), (ox, W - ox - mx * t), (0, 0)),
+            )
+    out = acc[m_top:img_h + m_top, m_left:img_w + m_left]
+    return out * norm_inv
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))

@@ -138,3 +138,25 @@ def test_pad_unpad_roundtrip():
     np.testing.assert_array_equal(unpad(padded, pads), img)
     same, pads0 = pad_to_multiple(np.zeros((64, 64)), 32)
     assert pads0 == (0, 0, 0, 0) and same.shape == (64, 64)
+
+
+def test_merge_regular_equals_scatter():
+    """The scatter-free regular-grid device merge matches the scatter-add
+    path bit-for-bit in structure (same math, different schedule)."""
+    import jax.numpy as jnp
+    from segtpu.tiles import ImageSlicer, _merge_scatter
+
+    rng = np.random.RandomState(3)
+    for weight in ("mean", "pyramid"):
+        s = ImageSlicer((100, 140), 32, 16, weight=weight)
+        assert s.tile_size % s.tile_step == 0
+        tiles = jnp.asarray(
+            rng.rand(len(s.crops), 32, 32, 1).astype(np.float32))
+        got = np.asarray(s.merge_device(tiles))  # regular path
+        ys = jnp.asarray([c[1] for c in s.crops], jnp.int32)
+        xs = jnp.asarray([c[0] for c in s.crops], jnp.int32)
+        w = jnp.asarray(s.compute_weight(32), jnp.float32)[None, :, :, None]
+        ref = np.asarray(_merge_scatter(
+            tiles, ys, xs, w, s.target_shape[0], s.target_shape[1],
+            s.margin_top, s.margin_left, s.image_height, s.image_width))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
