@@ -81,12 +81,34 @@ class BatchNormTorch(nn.Module):
                 b = abn_ops._expand_parts(b, parts)
             return (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
 
-        # Training: custom-VJP BN — every channel reduction (fwd stats AND
-        # the d_scale/d_bias backward sums) is an MXU contraction on TPU
-        # (abn.bn_train), with the exact torch training backward.
-        y, mean, var = abn_ops.bn_train_stats(
-            x, scale, bias, eps=self.eps, parts=parts, axis_name=self.axis_name
-        )
+        # Training: custom-VJP BN (abn.bn_train) with the exact torch
+        # training backward and pluggable reduction strategy.
+        # SEGTPU_BN_AUTODIFF=1 switches to the plain autodiff formula (A/B
+        # lever; the custom VJP measured equal on the unet family).
+        import os
+        if os.environ.get("SEGTPU_BN_AUTODIFF") == "1":
+            xf = x.astype(jnp.float32)
+            mean_s, var_s = abn_ops.batch_mean_var(xf, self.axis_name)
+            if parts is not None:
+                mean, var = abn_ops._combine_parts(
+                    mean_s, var_s + jnp.square(mean_s), parts)
+            else:
+                mean, var = mean_s, var_s
+            rstd = jax.lax.rsqrt(var + self.eps)
+            w = scale * rstd
+            b = bias
+            if parts is not None:
+                mean_e = abn_ops._expand_parts(mean, parts)
+                w = abn_ops._expand_parts(w, parts)
+                b = abn_ops._expand_parts(b, parts)
+            else:
+                mean_e = mean
+            y = (x - mean_e.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
+        else:
+            y, mean, var = abn_ops.bn_train_stats(
+                x, scale, bias, eps=self.eps, parts=parts,
+                axis_name=self.axis_name,
+            )
         if not self.is_initializing():
             count = x.size // self.features
             unbiased = var * (count / max(count - 1, 1))
