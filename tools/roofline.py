@@ -31,7 +31,7 @@ V5E_PEAK_HBM_GBS = 819.0
 
 def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
                loss_name: str = "bce", optimizer: str = "sgd",
-               remat: bool = False, s2d: bool = False):
+               remat=None, s2d: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +44,8 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
     model = get_model(model_name)
     if bf16 and hasattr(model, "dtype"):
         model = dataclasses.replace(model, dtype=jnp.bfloat16)
-    if remat and hasattr(model, "remat"):
-        model = dataclasses.replace(model, remat=True)
+    if remat is not None and hasattr(model, "remat"):
+        model = dataclasses.replace(model, remat=remat)
     if s2d and hasattr(model, "s2d"):
         model = dataclasses.replace(model, s2d=True)
     tx = get_optimizer(optimizer, 1e-3)
@@ -57,7 +57,7 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
 
 def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
             bf16: bool = True, loss_name: str = "bce", optimizer: str = "sgd",
-            remat: bool = False, s2d: bool = False,
+            remat=None, s2d: bool = False,
             profile_dir: str | None = None) -> dict:
     import jax
 
@@ -130,6 +130,8 @@ def main():
     p.add_argument("--optimizer", default="sgd")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-remat", action="store_true",
+                   help="force remat OFF for models that default it on")
     p.add_argument("--s2d", action="store_true")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--sweep", action="store_true")
@@ -144,9 +146,10 @@ def main():
             print(json.dumps(r), flush=True)
         return
 
+    remat = True if args.remat else (False if args.no_remat else None)
     r = analyze(args.model, args.patch, args.batch, steps=args.steps,
                 bf16=not args.fp32, loss_name=args.loss,
-                optimizer=args.optimizer, remat=args.remat, s2d=args.s2d,
+                optimizer=args.optimizer, remat=remat, s2d=args.s2d,
                 profile_dir=args.profile_dir)
     print(json.dumps(r))
 
