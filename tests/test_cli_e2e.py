@@ -178,3 +178,22 @@ def test_train_cli_freeze_encoder(tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         main(_common(tmp_path, ["-m", "unet", "--freeze-encoder"]))
+
+
+def test_train_cli_s2d(tmp_path):
+    """--s2d (the production fast path: space-to-depth levels + folded
+    upsample kernels) trains end-to-end from the CLI; loss finite and the
+    checkpoint round-trips into a NORMAL-path model (identical param
+    tree)."""
+    from segtpu.train_cli import main
+
+    history = main(_common(tmp_path, ["-m", "zf_unet", "--s2d"]))
+    assert np.isfinite(history["loss"][0])
+    exp = tmp_path / "experiments" / "shapes" / "bce" / "shapes_zf_unet_32_rgb_bce"
+    assert (exp / "zf_unet_checkpoint.ckpt" / "state.msgpack").exists()
+
+    # the s2d checkpoint is parameter-compatible with the normal path
+    args = _common(tmp_path, ["-m", "zf_unet", "-r"])
+    args[args.index("-e") + 1] = "2"
+    history2 = main(args)
+    assert history2["epoch"] == [0, 1]
