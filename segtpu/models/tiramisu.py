@@ -2,9 +2,14 @@
 
 The memory/recompute stress case (SURVEY.md §7): dense blocks concatenate
 every layer's output, so activation memory grows quadratically with depth.
-TPU-native handling: each dense block is wrapped in ``nn.remat``
-(rematerialization) so the backward pass recomputes block activations instead
-of keeping them in HBM — the reference had to run batch=1 (run_all.cmd:5).
+TPU-native handling: optional per-block ``nn.remat`` (rematerialization) so
+the backward pass recomputes block activations instead of keeping them in
+HBM — the reference had to run batch=1 (run_all.cmd:5). MEASURED (round 2b,
+v5e): XLA's own scheduling beats explicit remat at both benchmark shapes
+(224^2 b16: 82.2 -> 103.5 img/s; 512^2 b4: 7.5 -> 8.8 img/s — XLA spills /
+rematerializes selectively where the blanket per-block remat recomputes
+everything), so ``remat`` now defaults OFF and remains the opt-in lever for
+shapes that exceed HBM.
 """
 
 from __future__ import annotations
@@ -153,7 +158,7 @@ class FCDenseNet(nn.Module):
     growth_rate: int = 16
     out_chans_first_conv: int = 48
     n_classes: int = 12
-    remat: bool = True
+    remat: bool = False
     s2d: bool = False  # s2d execution of the full-res level (exact math)
     dtype: Optional[jnp.dtype] = None
 
