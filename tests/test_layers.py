@@ -140,3 +140,38 @@ def test_dropout2d_drops_whole_channels():
     # deterministic passes through
     yd = m.apply(v, x, deterministic=True)
     np.testing.assert_array_equal(np.asarray(yd), np.asarray(x))
+
+
+def test_polyphase_deconv_matches_conv_transpose():
+    """The stride-2 polyphase fast path equals flax nn.ConvTranspose
+    (VALID, transpose_kernel) in value and gradient for every zoo kernel
+    size, and ConvTranspose2dTorch keeps the identical parameter tree."""
+    import numpy as np
+    from flax import linen as nn
+    from segtpu.models.layers import ConvTranspose2dTorch, _deconv_s2_polyphase
+
+    rng = np.random.RandomState(0)
+    for k in (2, 3, 4):
+        x = jnp.asarray(rng.randn(2, 5, 6, 3).astype(np.float32))
+        K = jnp.asarray(rng.randn(k, k, 4, 3).astype(np.float32))
+        ref_m = nn.ConvTranspose(features=4, kernel_size=(k, k), strides=(2, 2),
+                                 padding="VALID", transpose_kernel=True,
+                                 use_bias=False)
+        ref = ref_m.apply({"params": {"kernel": K}}, x)
+        got = _deconv_s2_polyphase(x, K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        g = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+        g_ref = jax.grad(lambda kk: jnp.sum(
+            ref_m.apply({"params": {"kernel": kk}}, x) * g))(K)
+        g_got = jax.grad(lambda kk: jnp.sum(_deconv_s2_polyphase(x, kk) * g))(K)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    # parameter tree unchanged (checkpoint / torch-transplant compat)
+    m = ConvTranspose2dTorch(4, 2, 2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+    assert set(v["params"].keys()) == {"ConvTranspose_0"}
+    assert v["params"]["ConvTranspose_0"]["kernel"].shape == (2, 2, 4, 3)
+    assert v["params"]["ConvTranspose_0"]["bias"].shape == (4,)
