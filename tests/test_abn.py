@@ -278,3 +278,36 @@ def test_bn_train_stats_running_values():
     m_ref, v_ref = abn_ops.batch_mean_var(x)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(v_ref), atol=1e-6)
+
+
+def test_bn_train_shard_map_matches_global():
+    """bn_train with axis_name under shard_map == global bn_train (sync-BN
+    semantics for the custom-VJP BatchNorm path), values and gradients."""
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("data",))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(8, 6, 6, 8).astype(np.float32))
+    scale = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    g = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+
+    def loss_global(x, s, b):
+        return jnp.sum(abn_ops.bn_train(x, s, b, 1e-5, None, None) * g)
+
+    def loss_sharded(x, s, b):
+        def f(xs, ss, bs, gs):
+            per = jnp.sum(abn_ops.bn_train(xs, ss, bs, 1e-5, None, "data") * gs)
+            return jax.lax.psum(per, "data")
+        per = shard_map(
+            f, mesh=mesh,
+            in_specs=(P("data"), P(), P(), P("data")), out_specs=P())
+        return per(x, s, b, g)
+
+    np.testing.assert_allclose(
+        float(loss_sharded(x, scale, bias)), float(loss_global(x, scale, bias)),
+        rtol=1e-5)
+    g_g = jax.grad(loss_global, (0, 1, 2))(x, scale, bias)
+    g_s = jax.grad(loss_sharded, (0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g_g, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
