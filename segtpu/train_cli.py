@@ -68,6 +68,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "high-res level (exact math, dense 128-lane "
                              "channels; +31%% train throughput on "
                              "zf_unet-512, see BASELINE.md)")
+    parser.add_argument("--remat", action="store_true",
+                        help="Per-block rematerialization for models that "
+                             "support it (tiramisu*): recompute activations "
+                             "in backward for shapes that exceed HBM. "
+                             "Default off — XLA's own scheduling measured "
+                             "faster at the benchmark shapes (BASELINE.md)")
     parser.add_argument("--light-logging", action="store_true",
                         help="Skip per-epoch image grids and weight histograms")
     parser.add_argument("--no-tensorboard", action="store_true")
@@ -209,6 +215,11 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             raise SystemExit(f"--s2d: model '{args.model}' has no s2d mode")
         import dataclasses
         model = dataclasses.replace(model, s2d=True)
+    if args.remat:
+        if not hasattr(model, "remat"):
+            raise SystemExit(f"--remat: model '{args.model}' has no remat mode")
+        import dataclasses
+        model = dataclasses.replace(model, remat=True)
 
     if writer is not None:
         # model structure summary (the add_graph equivalent,
