@@ -80,6 +80,36 @@ def family(name: str) -> str:
     return base
 
 
+def _load_times(trace_dir, group):
+    spaces = load_xplanes(trace_dir)
+    _, space = spaces[-1]
+    ops, counts, total = device_op_times(space)
+    if group:
+        g, gc = collections.Counter(), collections.Counter()
+        for name, t in ops.items():
+            g[family(name)] += t
+            gc[family(name)] += counts[name]
+        ops, counts = g, gc
+    return ops, counts, total
+
+
+def compare(dir_a, dir_b, steps_a, steps_b, top):
+    """Per-family diff of two traces (A = before, B = after)."""
+    ops_a, _, tot_a = _load_times(dir_a, group=True)
+    ops_b, _, tot_b = _load_times(dir_b, group=True)
+    sa, sb = steps_a or 1, steps_b or 1
+    fams = set(ops_a) | set(ops_b)
+    rows = sorted(
+        ((ops_b.get(f, 0.0) / sb - ops_a.get(f, 0.0) / sa, f) for f in fams),
+        key=lambda r: abs(r[0]), reverse=True)
+    print(f"total: A {tot_a/sa/1e3:.2f} ms/step -> B {tot_b/sb/1e3:.2f} ms/step "
+          f"(delta {tot_b/sb/1e3 - tot_a/sa/1e3:+.2f})")
+    print(f"{'delta us':>10}  {'A us':>10}  {'B us':>10}  family")
+    for d, f in rows[:top]:
+        print(f"{d:10.1f}  {ops_a.get(f, 0.0)/sa:10.1f}  "
+              f"{ops_b.get(f, 0.0)/sb:10.1f}  {f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
@@ -87,7 +117,18 @@ def main():
     ap.add_argument("--group", action="store_true")
     ap.add_argument("--steps", type=int, default=None,
                     help="divide totals by N steps for per-step us")
+    ap.add_argument("--compare", default=None, metavar="TRACE_DIR_B",
+                    help="diff against a second trace (per-family, "
+                         "positional dir = before, this = after)")
+    ap.add_argument("--steps-b", type=int, default=None,
+                    help="step count for the --compare trace (defaults to "
+                         "--steps)")
     args = ap.parse_args()
+
+    if args.compare:
+        compare(args.trace_dir, args.compare, args.steps,
+                args.steps_b or args.steps, args.top)
+        return
 
     spaces = load_xplanes(args.trace_dir)
     path, space = spaces[-1]
