@@ -65,6 +65,11 @@ class LinkNet34(nn.Module):
     num_channels: int = 3
     plain_bn: bool = False
     dilated: bool = False
+    s2d: bool = False  # s2d execution of the full-res head conv — exact
+    # math but MEASURED NET-NEGATIVE on v5e (66 -> 86 ms/step at 512^2:
+    # the expanded kernel's 4x MACs + odd-size pad/slice relayouts cost
+    # more than dense lanes save; same verdict as UNet.s2d_deep). Kept
+    # opt-in with the x-equality test; see BASELINE.md.
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -98,7 +103,21 @@ class LinkNet34(nn.Module):
         act = (lambda v: nn.relu(v)) if self.dilated else (lambda v: nn.leaky_relu(v, 0.01))
         f = ConvTranspose2dTorch(32, 3, 2, dtype=self.dtype, name="finaldeconv1")(d1)
         f = act(f)
-        f = Conv(32, 3, padding=0, dtype=self.dtype, name="finalconv2")(f)
+        if self.s2d and f.shape[1] % 2 == 1 and f.shape[2] % 2 == 1:
+            # VALID 3x3 at ODD full resolution via a SAME conv in s2d
+            # space (pad to even, expanded kernel, slice off the first and
+            # last SAME rows — the only rows touching the zero padding, so
+            # the math is exact; param tree identical). See the class-level
+            # note: measured slower end-to-end, opt-in only.
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import d2s, s2d
+
+            h, w = f.shape[1], f.shape[2]
+            fp = jnp.pad(f, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            g = d2s(S2DConv(32, 3, dtype=self.dtype, name="finalconv2")(s2d(fp)))
+            f = g[:, 1:h - 1, 1:w - 1, :]
+        else:
+            f = Conv(32, 3, padding=0, dtype=self.dtype, name="finalconv2")(f)
         f = act(f)
         f = Conv(self.num_classes, 2, padding=1, dtype=self.dtype, name="finalconv3")(f)
         return f.astype(jnp.float32)

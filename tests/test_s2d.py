@@ -368,3 +368,34 @@ def test_deep_s2d_exact_in_float64(model_name):
         errs = jax.tree.leaves(
             jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1))
         assert max(errs) < 1e-9, max(errs)
+
+
+def test_linknet_s2d_head_matches_normal():
+    """LinkNet34's s2d head (VALID-via-SAME at odd full resolution) equals
+    the normal head exactly — forward and parameter gradients."""
+    import dataclasses
+    from segtpu.models import get_model
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+    m0 = get_model("linknet34")
+    m1 = dataclasses.replace(m0, s2d=True)
+    v = m0.init(jax.random.PRNGKey(0), x, True)
+
+    def fwd(m):
+        out, _ = m.apply(v, x, True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(3)})
+        return out
+
+    assert float(jnp.max(jnp.abs(fwd(m0) - fwd(m1)))) < 1e-4
+
+    def loss(m, p):
+        out, _ = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, x, True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.mean(out ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    errs = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1))
+    assert max(errs) < 1e-5, max(errs)
