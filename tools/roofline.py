@@ -107,16 +107,28 @@ def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
 
 
 SWEEP = [
-    # (model, patch, batch) — BASELINE.md per-model table shapes
-    ("unet", 224, 32),
-    ("zf_unet", 224, 32),
-    ("linknet34", 224, 32),
-    ("unet11", 224, 32),
-    ("squeezenet", 224, 32),
-    ("gcn34", 224, 32),
-    ("tiramisu67", 224, 16),
-    ("unet_abn", 224, 32),
-    ("zf_unet", 512, 16),
+    # (model, patch, batch, s2d) — BASELINE.md per-model table shapes
+    ("unet", 224, 32, False),
+    ("unet", 224, 32, True),
+    ("zf_unet", 224, 32, False),
+    ("zf_unet", 224, 32, True),
+    ("linknet34", 224, 32, False),
+    ("unet11", 224, 32, False),
+    ("unet16", 224, 32, False),
+    ("linknext", 224, 32, False),
+    ("dilated_linknet34", 224, 32, False),
+    ("squeezenet", 224, 32, False),
+    ("gcn34", 224, 32, False),
+    ("gcn", 224, 16, False),
+    ("psp_net", 224, 16, False),
+    ("duc", 224, 16, False),
+    ("duc_dc", 224, 16, False),
+    ("tiramisu57", 224, 16, False),
+    ("tiramisu67", 224, 16, False),
+    ("tiramisu103", 224, 8, False),
+    ("unet_abn", 224, 32, False),
+    ("zf_unet", 512, 16, False),
+    ("zf_unet", 512, 16, True),
 ]
 
 
@@ -141,8 +153,12 @@ def main():
     enable_compilation_cache()
 
     if args.sweep:
-        for model, patch, batch in SWEEP:
-            r = analyze(model, patch, batch, steps=args.steps)
+        for model, patch, batch, s2d in SWEEP:
+            try:
+                r = analyze(model, patch, batch, steps=args.steps, s2d=s2d)
+            except Exception as e:  # record OOM/compile failures, keep going
+                r = {"model": model + ("+s2d" if s2d else ""), "patch": patch,
+                     "batch": batch, "error": str(e)[:200]}
             print(json.dumps(r), flush=True)
         return
 
