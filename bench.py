@@ -159,11 +159,14 @@ def measure_tiled_inference(patch: int = 512, image_size: int = 5000,
     rng = np.random.RandomState(0)
     image = (rng.rand(image_size, image_size, 3) * 255).astype(np.uint8)
 
-    # warm (compile + cache). threshold=0.5 matches the submission path
-    # (inria_submit writes binary masks): the mask is thresholded on device
-    # and fetched as uint8 — 4x less host transfer than raw fp32 probs.
-    predict_tiled(image, predict_fn, patch_size=patch, batch_size=batch_size,
-                  tta=True, threshold=0.5)
+    # warm (compile + cache; twice — the first full pass still pays one-time
+    # dispatch/layout costs beyond compilation). threshold=0.5 matches the
+    # submission path (inria_submit writes binary masks): the mask is
+    # thresholded on device and fetched as uint8 — 4x less host transfer
+    # than raw fp32 probs.
+    for _ in range(2):
+        predict_tiled(image, predict_fn, patch_size=patch,
+                      batch_size=batch_size, tta=True, threshold=0.5)
     t0 = time.perf_counter()
     mask = predict_tiled(image, predict_fn, patch_size=patch,
                          batch_size=batch_size, tta=True, threshold=0.5)

@@ -28,6 +28,84 @@ from segtpu.augment import (
 from segtpu.tiles import ImageSlicer
 
 
+def _device_affine(test_transform):
+    """(scale, mean, std) when ``test_transform`` is an affine image-only
+    normalize chain (the submit CLI's ``Normalize(INRIA stats)`` path,
+    reference inria_submit.py:286-288) or None/empty.
+
+    When expressible, the normalize runs on device after a compact upload —
+    a uint8 image transfers 4x fewer bytes through the host<->device link
+    than pre-normalized float32 (the dominant non-compute cost of 5000^2
+    tiled inference on this machine). Returns None when the transform has
+    non-affine parts, which keeps the host path.
+    """
+    from segtpu.augment import host as aug
+
+    if test_transform is None:
+        chain = []
+    elif isinstance(test_transform, aug.Sequential):
+        chain = list(test_transform.transforms)
+    else:
+        chain = [test_transform]
+
+    scale, mean, std = np.float32(1.0), np.float32(0.0), np.float32(1.0)
+    seen = False
+    for part in chain:
+        if isinstance(part, aug.MaskOnly):
+            continue  # no mask at inference time
+        inner = part.trans if isinstance(part, aug.ImageOnly) else part
+        if isinstance(inner, aug.NormalizeImage) and not seen:
+            scale = np.float32(inner.scale)
+            mean = np.asarray(inner.mean, np.float32)
+            std = np.asarray(inner.std, np.float32)
+            seen = True
+            continue
+        return None
+    return scale, mean, std
+
+
+def _compact_image(image: np.ndarray, affine):
+    """Keep the smallest dtype that the device path can normalize: uint8
+    uploads as-is (cast + affine happen on device, matching the host float32
+    pipeline up to XLA's FMA contraction of the multiply-subtract)."""
+    image = np.asarray(image)
+    if affine is not None and image.dtype == np.uint8:
+        return image
+    return np.asarray(image, dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cast_affine(x, affine):
+    """One whole-array device kernel: cast to float32 and apply
+    ``(x*scale - mean)/std`` in the host op order (augment/host.py
+    NormalizeImage); matches the host result to ~1ulp (XLA contracts the
+    multiply-subtract into an FMA). Applied ONCE per image/tile-batch right
+    after the compact upload — the downstream compute graph then sees the
+    same float32 arrays as the host-transform path (keeping the image uint8
+    inside the gather loop instead measured ~30% slower per dynamic-slice:
+    the (32,128) int8 tiling relayouts every cut)."""
+    x = x.astype(jnp.float32)
+    if affine is None:
+        return x
+    scale, mean, std = affine
+    return (x * np.float32(scale) - jnp.asarray(mean)) / jnp.asarray(std)
+
+
+def _apply_affine(x: jnp.ndarray, affine) -> jnp.ndarray:
+    if affine is None and x.dtype == jnp.float32:
+        return x
+    return _cast_affine(x, _hashable_affine(affine))
+
+
+def _hashable_affine(affine):
+    """jit-static form of (scale, mean, std): nested tuples of floats."""
+    if affine is None:
+        return None
+    scale, mean, std = affine
+    return (float(scale), tuple(np.ravel(mean).tolist()),
+            tuple(np.ravel(std).tolist()))
+
+
 def predict_full(image: np.ndarray, predict_fn: Callable, test_transform=None,
                  pad_size: int = 32, tta: bool = True) -> np.ndarray:
     """Whole-image prediction: pad to /32, D4 TTA, average
@@ -36,6 +114,10 @@ def predict_full(image: np.ndarray, predict_fn: Callable, test_transform=None,
     ``predict_fn(x: (N,H,W,C)) -> (N,H,W,1) sigmoid probs`` — typically
     ``make_predict_step`` partially applied with a TrainState.
     """
+    affine = _device_affine(test_transform)
+    if affine is None and test_transform is not None:
+        image, _ = test_transform(image, None)
+    image = _compact_image(image, affine)
     padded, pads = pad_to_multiple(image, pad_size)
     if tta and padded.shape[0] != padded.shape[1]:
         # batched D4 TTA needs a square canvas (rot90 views share one shape);
@@ -45,9 +127,7 @@ def predict_full(image: np.ndarray, predict_fn: Callable, test_transform=None,
         extra = [(0, eh), (0, ew)] + [(0, 0)] * (padded.ndim - 2)
         padded = np.pad(padded, extra, mode="edge")
         pads = (pads[0], pads[1] + eh, pads[2], pads[3] + ew)
-    if test_transform is not None:
-        padded, _ = test_transform(padded, None)
-    x = jnp.asarray(padded[None].astype(np.float32))
+    x = _apply_affine(jnp.asarray(padded[None]), affine)
     if tta:
         x = tta_d4_aug_batch(x)
     y = predict_fn(x)
@@ -74,9 +154,10 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
     and vs shipping the (overlap-duplicated) tile batch.
     ``slice_on_device=False`` falls back to host slicing (native tileio).
     """
-    if test_transform is not None:
+    affine = _device_affine(test_transform)
+    if affine is None and test_transform is not None:
         image, _ = test_transform(image, None)
-    image = np.asarray(image, dtype=np.float32)
+    image = _compact_image(image, affine)
     if image.ndim == 2:
         image = image[..., None]
 
@@ -107,7 +188,7 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
             mode="reflect",
         )
         preds = _run_tiles_gather(
-            predict_fn, tta, jnp.asarray(padded),
+            predict_fn, tta, _apply_affine(jnp.asarray(padded), affine),
             jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
             n_chunks, chunk, patch_size,
         )
@@ -117,7 +198,7 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
             tiles = np.concatenate(
                 [tiles, np.zeros((pad, *tiles.shape[1:]), tiles.dtype)]
             )
-        device_tiles = jnp.asarray(tiles)
+        device_tiles = _apply_affine(jnp.asarray(tiles), affine)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

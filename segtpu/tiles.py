@@ -205,9 +205,12 @@ class ImageSlicer:
         ny, nx = self._grid_shape()
         if (self.tile_size % self.tile_step == 0
                 and ny * nx == len(self.crops)):
-            norm_inv = jnp.asarray(self._norm_inv_host(), jnp.float32)
+            # the normalization map is data-independent and built INSIDE the
+            # jit with the same scatter-free group placement (a host-side
+            # float64 accumulation loop here measured 2-20+ s/image under
+            # host load, plus a ~100 MB upload — pure overhead per image)
             return _merge_regular(
-                tiles.astype(jnp.float32), w, norm_inv,
+                tiles.astype(jnp.float32), w,
                 ny, nx, self.tile_size, self.tile_step,
                 self.target_shape[0], self.target_shape[1],
                 self.margin_top, self.margin_left,
@@ -228,18 +231,6 @@ class ImageSlicer:
         ys = {c[1] for c in self.crops}
         return len(ys), len(xs)
 
-    def _norm_inv_host(self) -> np.ndarray:
-        """1 / sum-of-weights per output pixel (data-independent), float64
-        on host, cropped to the image window."""
-        w = self.compute_weight(self.tile_size).astype(np.float64)
-        H, W = self.target_shape[0], self.target_shape[1]
-        norm = np.zeros((H, W), np.float64)
-        for x, y, tw, th in self.crops:
-            norm[y:y + th, x:x + tw] += w
-        norm = norm[self.margin_top:self.image_height + self.margin_top,
-                    self.margin_left:self.image_width + self.margin_left]
-        return (1.0 / np.maximum(norm, np.finfo(np.float32).eps))[..., None]
-
     def _mean(self, tile_size: int) -> np.ndarray:
         return np.ones((tile_size, tile_size), dtype=np.float32)
 
@@ -251,16 +242,19 @@ class ImageSlicer:
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
-def _merge_regular(tiles, w, norm_inv, ny, nx, t, step, H, W,
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+def _merge_regular(tiles, w, ny, nx, t, step, H, W,
                    m_top, m_left, img_h, img_w):
     """Scatter-free merge for a regular grid (y-outer row-major crops at
-    multiples of ``step``; ``r = t // step`` groups per axis)."""
+    multiples of ``step``; ``r = t // step`` groups per axis). The
+    weight-normalization canvas is accumulated the same way on device
+    (data-independent; XLA folds much of it) instead of on host."""
     r = t // step
     c = tiles.shape[-1]
     wt = tiles * w
     view = wt.reshape(ny, nx, t, t, c)
     acc = jnp.zeros((H, W, c), jnp.float32)
+    norm = jnp.zeros((H, W, 1), jnp.float32)
     for gy in range(r):
         my = len(range(gy, ny, r))
         for gx in range(r):
@@ -270,12 +264,13 @@ def _merge_regular(tiles, w, norm_inv, ny, nx, t, step, H, W,
             sub = view[gy::r, gx::r]                      # (my, mx, t, t, c)
             canvas = sub.transpose(0, 2, 1, 3, 4).reshape(my * t, mx * t, c)
             oy, ox = gy * step, gx * step
-            acc = acc + jnp.pad(
-                canvas,
-                ((oy, H - oy - my * t), (ox, W - ox - mx * t), (0, 0)),
-            )
+            pad = ((oy, H - oy - my * t), (ox, W - ox - mx * t))
+            acc = acc + jnp.pad(canvas, pad + ((0, 0),))
+            wcanvas = jnp.tile(w[0], (my, mx, 1))
+            norm = norm + jnp.pad(wcanvas, pad + ((0, 0),))
     out = acc[m_top:img_h + m_top, m_left:img_w + m_left]
-    return out * norm_inv
+    norm = norm[m_top:img_h + m_top, m_left:img_w + m_left]
+    return out / jnp.maximum(norm, jnp.finfo(jnp.float32).eps)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))

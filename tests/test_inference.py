@@ -119,6 +119,39 @@ def test_predict_tiled_mesh_matches_single_device():
     np.testing.assert_allclose(sharded, image.mean(-1), atol=1e-4)
 
 
+def test_uint8_device_normalize_matches_host_transform():
+    """A uint8 image + affine Normalize transform takes the compact-upload
+    path (uint8 to the device, cast+normalize on chip) and must match
+    pre-normalizing on the host in float32 (up to XLA's FMA contraction of
+    the multiply-subtract, ~1ulp)."""
+    from segtpu.augment import host as aug
+    from segtpu.inference import _device_affine
+
+    transform = aug.Sequential([
+        aug.ImageOnly(aug.NormalizeImage(mean=(0.4, 0.45, 0.5),
+                                         std=(0.2, 0.25, 0.3))),
+    ])
+    assert _device_affine(transform) is not None
+    # non-affine chains refuse the device path
+    assert _device_affine(
+        aug.Sequential([aug.ImageOnly(aug.CLAHE())])) is None
+
+    rng = np.random.RandomState(7)
+    image = (rng.rand(100, 140, 3) * 255).astype(np.uint8)
+    host_norm, _ = transform(image.astype(np.float32), None)
+
+    for tta in (True, False):
+        compact = predict_tiled(image, _identity_predict, transform,
+                                patch_size=64, batch_size=8, tta=tta)
+        host = predict_tiled(host_norm, _identity_predict, None,
+                             patch_size=64, batch_size=8, tta=tta)
+        np.testing.assert_allclose(compact, host, atol=2e-6)
+
+    full_compact = predict_full(image, _identity_predict, transform)
+    full_host = predict_full(host_norm, _identity_predict, None)
+    np.testing.assert_allclose(full_compact, full_host, atol=2e-6)
+
+
 def test_device_slicing_matches_host_slicing():
     rng = np.random.RandomState(6)
     image = rng.rand(130, 90, 3).astype(np.float32)
