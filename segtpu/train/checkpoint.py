@@ -75,15 +75,24 @@ def restore_snapshot(
     restore_opt: bool = True,
 ) -> Tuple[Any, int, Dict[str, list], float]:
     """Restore (state, start_epoch, train_history, best_loss)
-    (reference restore_snapshot, torch_train.py:319-330)."""
+    (reference restore_snapshot, torch_train.py:319-330).
+
+    ``restore_opt=False`` skips the optimizer state entirely (reference's
+    optimizer=None path) — the checkpoint may then come from a DIFFERENT
+    optimizer than ``state``'s (e.g. submit/inference of an adam-trained
+    checkpoint through an sgd-templated state)."""
     snapshot_path = os.path.abspath(snapshot_path)
-    template = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-    }
     with open(_state_path(snapshot_path), "rb") as f:
-        tree = serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    tree = {
+        "params": serialization.from_state_dict(
+            jax.device_get(state.params), raw["params"]),
+        "batch_stats": serialization.from_state_dict(
+            jax.device_get(state.batch_stats), raw["batch_stats"]),
+    }
+    if restore_opt:
+        tree["opt_state"] = serialization.from_state_dict(
+            jax.device_get(state.opt_state), raw["opt_state"])
     with open(_meta_path(snapshot_path)) as f:
         meta = json.load(f)
 

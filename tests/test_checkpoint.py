@@ -66,3 +66,21 @@ def test_snapshot_overwrite(tmp_path):
     save_snapshot(state, 0.5, 1, {"loss": [1.0, 0.5]}, path)
     _, start_epoch, hist, best = restore_snapshot(state, path)
     assert start_epoch == 2 and best == 0.5 and hist["loss"] == [1.0, 0.5]
+
+
+def test_restore_across_optimizers(tmp_path):
+    """An adam-trained checkpoint restores into an sgd-templated state with
+    restore_opt=False (the submit/inference path — reference inria_submit
+    restores weights only): opt_state shape mismatch must not matter."""
+    model = get_model("unet")
+    state = create_train_state(model, get_optimizer("adam", 1e-3), (1, 32, 32, 3))
+    path = str(tmp_path / "snap.ckpt")
+    save_snapshot(state, 0.7, 2, {}, path)
+
+    sgd_state = create_train_state(model, get_optimizer("sgd", 1e-2), (1, 32, 32, 3))
+    restored, start_epoch, _, best = restore_snapshot(
+        sgd_state, path, restore_opt=False)
+    assert start_epoch == 3 and best == 0.7
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
