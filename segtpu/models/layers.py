@@ -412,6 +412,58 @@ class S2DConv(nn.Module):
         )(x)
 
 
+class _DeconvS2DInner(nn.Module):
+    """Holds the DENSE transposed-conv params (same shapes/init as the
+    ``nn.ConvTranspose`` inside :class:`ConvTranspose2dTorch`) and applies
+    them via :func:`segtpu.ops.s2d.deconv_s2d_kernel` — the output is the
+    s2d layout of the (k=4, s=2, p=1) deconv, emitted directly at input
+    resolution."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from segtpu.ops.s2d import deconv_s2d_kernel
+
+        i = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (4, 4, self.features, i),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        kp = deconv_s2d_kernel(kernel.astype(dtype))
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kp, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_conv_bias_init(i * 16), (self.features,),
+                jnp.float32,
+            )
+            y = y + jnp.tile(bias, 4).astype(dtype)
+        return y
+
+
+class DeconvS2D(nn.Module):
+    """``ConvTranspose2dTorch(features, 4, 2, padding=1)`` evaluated so the
+    result comes out in s2d representation ([N, H, W, 4*features] at input
+    resolution == s2d of the [N, 2H, 2W, features] deconv output). Parameter
+    tree is identical to :class:`ConvTranspose2dTorch`
+    (``ConvTranspose_0/{kernel,bias}``), so checkpoints are unaffected."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _DeconvS2DInner(self.features, self.use_bias, self.dtype,
+                               name="ConvTranspose_0")(x)
+
+
 def _deconv_s2_polyphase(x, kernel, bias=None):
     """Full (VALID) stride-2 transposed conv via polyphase decomposition.
 

@@ -20,27 +20,47 @@ from segtpu.models.layers import Conv, ConvTranspose2dTorch, max_pool
 
 
 class ConvRelu(nn.Module):
-    """conv3x3 + ReLU (reference unet11.py:12-21)."""
+    """conv3x3 + ReLU (reference unet11.py:12-21).
+
+    ``s2d=True`` evaluates in space-to-depth representation (same math,
+    dense 128-lane channels — segtpu.ops.s2d); params identical."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
+    in_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d:
+            from segtpu.models.layers import S2DConv
+
+            return nn.relu(S2DConv(self.features, 3, dtype=self.dtype,
+                                   in_perm=self.in_perm, name="conv")(x))
         return nn.relu(Conv(self.features, 3, padding=1, dtype=self.dtype,
                             name="conv")(x))
 
 
 class DecoderBlock(nn.Module):
-    """ConvRelu -> ConvTranspose2d(k4,s2,p1) -> ReLU (reference unet11.py:23-48)."""
+    """ConvRelu -> ConvTranspose2d(k4,s2,p1) -> ReLU (reference unet11.py:23-48).
+
+    ``s2d_out=True``: the deconv emits its output directly in s2d layout at
+    input resolution (layers.DeconvS2D) — no materialized full-res
+    lane-padded tensor; params identical."""
 
     middle_channels: int
     out_channels: int
     dtype: Optional[jnp.dtype] = None
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = ConvRelu(self.middle_channels, dtype=self.dtype, name="convrelu")(x)
+        if self.s2d_out:
+            from segtpu.models.layers import DeconvS2D
+
+            return nn.relu(DeconvS2D(self.out_channels, dtype=self.dtype,
+                                     name="deconv")(y))
         y = ConvTranspose2dTorch(self.out_channels, 4, 2, padding=1,
                                  dtype=self.dtype, name="deconv")(y)
         return nn.relu(y)
@@ -51,11 +71,18 @@ class _VGGConvs(nn.Module):
 
     features: Sequence[int]
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from segtpu.models.layers import S2DConv
+
         for i, f in enumerate(self.features):
-            x = nn.relu(Conv(f, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x))
+            if self.s2d:
+                x = nn.relu(S2DConv(f, 3, dtype=self.dtype, name=f"conv{i}")(x))
+            else:
+                x = nn.relu(Conv(f, 3, padding=1, dtype=self.dtype,
+                                 name=f"conv{i}")(x))
         return x
 
 
@@ -64,13 +91,22 @@ class UNet11(nn.Module):
 
     num_classes: int = 1
     num_filters: int = 32
+    s2d: bool = False  # s2d execution of the full-res level (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
-        conv1 = _VGGConvs((64,), self.dtype, name="conv1")(x)
-        conv2 = _VGGConvs((128,), self.dtype, name="conv2")(max_pool(conv1))
+        use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if use_s2d:
+            from segtpu.ops.s2d import blocked_perm, d2s, s2d, s2d_max_pool_exit
+
+            conv1s = _VGGConvs((64,), self.dtype, s2d=True, name="conv1")(s2d(x))
+            pool1 = s2d_max_pool_exit(conv1s)
+        else:
+            conv1 = _VGGConvs((64,), self.dtype, name="conv1")(x)
+            pool1 = max_pool(conv1)
+        conv2 = _VGGConvs((128,), self.dtype, name="conv2")(pool1)
         conv3 = _VGGConvs((256, 256), self.dtype, name="conv3")(max_pool(conv2))
         conv4 = _VGGConvs((512, 512), self.dtype, name="conv4")(max_pool(conv3))
         conv5 = _VGGConvs((512, 512), self.dtype, name="conv5")(max_pool(conv4))
@@ -83,6 +119,21 @@ class UNet11(nn.Module):
             jnp.concatenate([dec5, conv4], -1))
         dec3 = DecoderBlock(nf * 4 * 2, nf * 2, self.dtype, name="dec3")(
             jnp.concatenate([dec4, conv3], -1))
+        if use_s2d:
+            # dec2's deconv emits s2d directly; dec1 consumes the blocked
+            # lane concat [dec2 | conv1] via an input-permuted expanded
+            # kernel; the 1x1 head stays s2d and converts once at the end.
+            dec2s = DecoderBlock(nf * 2 * 2, nf, self.dtype, s2d_out=True,
+                                 name="dec2")(jnp.concatenate([dec3, conv2], -1))
+            from segtpu.models.layers import S2DConv
+
+            dec1s = ConvRelu(
+                nf, self.dtype, s2d=True,
+                in_perm=blocked_perm((nf, 64)), name="dec1",
+            )(jnp.concatenate([dec2s, conv1s], -1))
+            outs = S2DConv(self.num_classes, 1, dtype=self.dtype,
+                           name="final")(dec1s)
+            return d2s(outs).astype(jnp.float32)
         dec2 = DecoderBlock(nf * 2 * 2, nf, self.dtype, name="dec2")(
             jnp.concatenate([dec3, conv2], -1))
         dec1 = ConvRelu(nf, self.dtype, name="dec1")(
@@ -96,13 +147,23 @@ class UNet16(nn.Module):
 
     num_classes: int = 1
     num_filters: int = 32
+    s2d: bool = False  # s2d execution of the full-res level (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
-        conv1 = _VGGConvs((64, 64), self.dtype, name="conv1")(x)
-        conv2 = _VGGConvs((128, 128), self.dtype, name="conv2")(max_pool(conv1))
+        use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if use_s2d:
+            from segtpu.ops.s2d import blocked_perm, d2s, s2d, s2d_max_pool_exit
+
+            conv1s = _VGGConvs((64, 64), self.dtype, s2d=True,
+                               name="conv1")(s2d(x))
+            pool1 = s2d_max_pool_exit(conv1s)
+        else:
+            conv1 = _VGGConvs((64, 64), self.dtype, name="conv1")(x)
+            pool1 = max_pool(conv1)
+        conv2 = _VGGConvs((128, 128), self.dtype, name="conv2")(pool1)
         conv3 = _VGGConvs((256, 256, 256), self.dtype, name="conv3")(max_pool(conv2))
         conv4 = _VGGConvs((512, 512, 512), self.dtype, name="conv4")(max_pool(conv3))
         conv5 = _VGGConvs((512, 512, 512), self.dtype, name="conv5")(max_pool(conv4))
@@ -115,6 +176,18 @@ class UNet16(nn.Module):
             jnp.concatenate([dec5, conv4], -1))
         dec3 = DecoderBlock(nf * 4 * 2, nf * 2, self.dtype, name="dec3")(
             jnp.concatenate([dec4, conv3], -1))
+        if use_s2d:
+            dec2s = DecoderBlock(nf * 2 * 2, nf, self.dtype, s2d_out=True,
+                                 name="dec2")(jnp.concatenate([dec3, conv2], -1))
+            from segtpu.models.layers import S2DConv
+
+            dec1s = ConvRelu(
+                nf, self.dtype, s2d=True,
+                in_perm=blocked_perm((nf, 64)), name="dec1",
+            )(jnp.concatenate([dec2s, conv1s], -1))
+            outs = S2DConv(self.num_classes, 1, dtype=self.dtype,
+                           name="final")(dec1s)
+            return d2s(outs).astype(jnp.float32)
         dec2 = DecoderBlock(nf * 2 * 2, nf, self.dtype, name="dec2")(
             jnp.concatenate([dec3, conv2], -1))
         dec1 = ConvRelu(nf, self.dtype, name="dec1")(

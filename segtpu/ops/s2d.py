@@ -142,6 +142,43 @@ def expand_kernel_parts(kernel, parts):
     return jnp.concatenate(cols, axis=2)
 
 
+def deconv_s2d_kernel(kernel):
+    """Expand a stride-2 transposed-conv kernel (k=4, torch padding=1 — the
+    TernausNet decoder deconv, reference unet11.py:23-48) into the stride-1
+    SAME [3,3,I,4O] kernel that emits the S2D LAYOUT of the deconv output
+    directly from the half-res input.
+
+    Derivation: torch's out[2b+d] = sum_u x[b+u] * K[d+1-2u] with u in
+    {-1,0,1} per axis, so each output sub-position d is a 2-tap window
+    inside a common 3-tap block window — one stride-1 SAME conv at input
+    resolution, no materialized full-res (4x lane-padded) tensor and no
+    phase interleave (the interleave is what sank the normal-space
+    polyphase path, layers._deconv_s2_polyphase).
+
+    ``kernel`` layout is the flax transpose_kernel [4, 4, O, I]; output
+    channel order is the s2d convention ((dy, dx, o) flattened). Pure
+    gathers — differentiable, parameters unaffected. MAC padding: 9 taps
+    with 4 valid per (dy,dx) = 2.25x the true deconv MACs, paid on the MXU
+    where these bandwidth-bound decoder levels have headroom.
+    """
+    assert kernel.shape[0] == kernel.shape[1] == 4, kernel.shape
+    A = np.zeros((3, 2), np.int32)
+    V = np.zeros((3, 2), bool)
+    for ui, u in enumerate((-1, 0, 1)):
+        for d in range(2):
+            a = d + 1 - 2 * u
+            V[ui, d] = 0 <= a < 4
+            A[ui, d] = np.clip(a, 0, 3)
+    # [ty, tx, dy, dx, O, I]
+    kp = kernel[A[:, None, :, None], A[None, :, None, :]]
+    mask = V[:, None, :, None] & V[None, :, None, :]
+    kp = kp * jnp.asarray(mask, kernel.dtype)[..., None, None]
+    # -> [ty, tx, I, (dy, dx, O)]
+    kp = kp.transpose(0, 1, 5, 2, 3, 4)
+    o, i = kernel.shape[2], kernel.shape[3]
+    return kp.reshape(3, 3, i, 4 * o)
+
+
 def blocked_perm(sizes):
     """Static input-channel permutation mapping a BLOCK-wise concat of s2d
     tensors (each part keeps its own sub-position-major layout:

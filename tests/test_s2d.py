@@ -399,3 +399,58 @@ def test_linknet_s2d_head_matches_normal():
     errs = jax.tree.leaves(
         jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1))
     assert max(errs) < 1e-5, max(errs)
+
+
+def test_deconv_s2d_kernel_matches_conv_transpose():
+    """layers.DeconvS2D (stride-2 k4 p1 deconv emitted directly in s2d
+    layout) equals ConvTranspose2dTorch in value and parameter gradients,
+    with an identical parameter tree."""
+    import jax.tree_util as jtu
+
+    from segtpu.models.layers import ConvTranspose2dTorch, DeconvS2D
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 12, 10, 5).astype(np.float32))
+    ref = ConvTranspose2dTorch(7, 4, 2, padding=1)
+    v = ref.init(jax.random.PRNGKey(1), x)
+    alt = DeconvS2D(7)
+    assert (jtu.tree_structure(v)
+            == jtu.tree_structure(alt.init(jax.random.PRNGKey(1), x)))
+
+    y_ref = ref.apply(v, x)
+    y_s2d = d2s(alt.apply(v, x))
+    assert y_ref.shape == (2, 24, 20, 7)
+    np.testing.assert_allclose(y_s2d, y_ref, atol=1e-5)
+
+    g_ref = jax.grad(lambda p: jnp.mean(ref.apply({"params": p}, x) ** 2))(
+        v["params"])
+    g_s2d = jax.grad(
+        lambda p: jnp.mean(d2s(alt.apply({"params": p}, x)) ** 2))(v["params"])
+    errs = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g_ref, g_s2d))
+    assert max(errs) < 1e-5, max(errs)
+
+
+@pytest.mark.parametrize("model_name", ["unet11", "unet16"])
+def test_ternaus_s2d_matches_normal(model_name):
+    """UNet11/UNet16 s2d execution (s2d VGG stem, deconv-to-s2d dec2,
+    blocked-concat dec1, s2d 1x1 head) — forward and parameter-gradient
+    parity with the normal path on shared params."""
+    import dataclasses
+
+    from segtpu.models import get_model
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+    m0 = get_model(model_name)
+    m1 = dataclasses.replace(m0, s2d=True)
+    v = m0.init(jax.random.PRNGKey(0), x)
+
+    a = m0.apply(v, x)
+    b = m1.apply(v, x)
+    assert a.shape == b.shape == (2, 64, 64, 1)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+    g0 = jax.grad(lambda p: jnp.mean(m0.apply({"params": p}, x) ** 2))(v["params"])
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply({"params": p}, x) ** 2))(v["params"])
+    errs = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1))
+    assert max(errs) < 1e-4, max(errs)

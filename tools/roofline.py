@@ -114,7 +114,9 @@ SWEEP = [
     ("zf_unet", 224, 32, True),
     ("linknet34", 224, 32, False),
     ("unet11", 224, 32, False),
+    ("unet11", 224, 32, True),
     ("unet16", 224, 32, False),
+    ("unet16", 224, 32, True),
     ("linknext", 224, 32, False),
     ("dilated_linknet34", 224, 32, False),
     ("squeezenet", 224, 32, False),
