@@ -186,7 +186,7 @@ BENCH_CONFIGS = {
         loss_name="bce_jaccard", optimizer="adam"),
     "unet11-finetune-512": dict(
         kind="train", model_name="unet11", patch=512, batch_size=16,
-        loss_name="bce", optimizer="adam", freeze_encoder=True),
+        loss_name="bce", optimizer="adam", freeze_encoder=True, s2d=True),
     "tiramisu67-512-b4": dict(kind="train", model_name="tiramisu67",
                               patch=512, batch_size=4, steps=10,
                               loss_name="bce", optimizer="sgd"),
