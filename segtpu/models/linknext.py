@@ -68,14 +68,27 @@ class ResNeXtEncoder(nn.Module):
     cardinality: int = 2
     bottleneck_width: int = 64
     expansion: int = 2
+    s2d: bool = False  # s2d execution of the full-res stem (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = Conv(64, 3, padding=1, dtype=self.dtype, name="conv0")(x)
-        y = BatchNormTorch(64, name="bn0")(y, use_running_average=not train)
-        y = nn.relu(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # the 64ch full-res stem (2x lane-padded) runs dense in s2d;
+            # the k3 s2 stem pool exits back to normal space (segtpu.ops.s2d)
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import s2d, s2d_max_pool3_exit
+
+            y = S2DConv(64, 3, dtype=self.dtype, name="conv0")(s2d(x))
+            y = BatchNormTorch(64, stat_groups=4, name="bn0")(
+                y, use_running_average=not train)
+            y = nn.relu(y)
+            y = s2d_max_pool3_exit(y)
+        else:
+            y = Conv(64, 3, padding=1, dtype=self.dtype, name="conv0")(x)
+            y = BatchNormTorch(64, name="bn0")(y, use_running_average=not train)
+            y = nn.relu(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         feats = []
         bw = self.bottleneck_width
@@ -154,6 +167,7 @@ class LinkNext(nn.Module):
 
     num_classes: int = 1
     num_channels: int = 3
+    s2d: bool = False  # s2d execution of the encoder's full-res stem
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -161,7 +175,8 @@ class LinkNext(nn.Module):
         # upstream asserts num_channels==3 (linknext.py:231); the lazy stem
         # conv here accepts any channel count so the -g flag works
         dt = self.dtype
-        e1, e2, e3, e4 = ResNeXtEncoder(dtype=dt, name="encoder")(x, train)
+        e1, e2, e3, e4 = ResNeXtEncoder(s2d=self.s2d, dtype=dt,
+                                        name="encoder")(x, train)
         filters = [e1.shape[-1], e2.shape[-1], e3.shape[-1], e4.shape[-1]]
 
         d4 = LinkNextDecoderBlock(filters[2], 0.1, dtype=dt, name="decoder4")(e4, train) + e3

@@ -59,13 +59,25 @@ class SqueezeNet(nn.Module):
 
     in_channels: int = 3
     num_classes: int = 1
+    s2d: bool = False  # s2d execution of the full-res level (exact math)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        conv1 = Conv(96, 3, padding=1, dtype=dt, name="conv1")(x)
-        pool1 = max_pool(conv1)
+        use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if use_s2d:
+            # stem conv (96ch @ full res, 1.33x lane-padded) runs dense in
+            # s2d space; the skip stays s2d for the head (segtpu.ops.s2d)
+            from segtpu.models.layers import S2DConv
+            from segtpu.ops.s2d import (
+                d2s, s2d, s2d_max_pool_exit, s2d_tile_channels)
+
+            conv1s = S2DConv(96, 3, dtype=dt, name="conv1")(s2d(x))
+            pool1 = s2d_max_pool_exit(conv1s)
+        else:
+            conv1 = Conv(96, 3, padding=1, dtype=dt, name="conv1")(x)
+            pool1 = max_pool(conv1)
 
         fire2 = Fire(16, 64, 64, dt, name="fire2")(pool1)
         fire3 = Fire(16, 64, 64, dt, name="fire3")(fire2)
@@ -94,6 +106,12 @@ class SqueezeNet(nn.Module):
         d3 = DFire(128, 64, 64, dt, name="dfire3")(d4)
         d2 = DFire(96, 48, 48, dt, name="dfire2")(d3)
 
+        if use_s2d:
+            # nearest-2x upsample of d2 is a channel tile in s2d space; the
+            # additive skip and the 1x1 head stay s2d, one d2s at the end
+            summed = conv1s + s2d_tile_channels(d2)
+            out = S2DConv(self.num_classes, 1, dtype=dt, name="dconv1")(summed)
+            return d2s(out).astype(jnp.float32)
         d2 = upsample_nearest(d2)
         out = Conv(self.num_classes, 1, padding=0, dtype=dt, name="dconv1")(d2 + conv1)
         return out.astype(jnp.float32)

@@ -206,6 +206,43 @@ def d2s_parts(x, parts):
     return jnp.concatenate(outs, axis=-1)
 
 
+def s2d_max_pool3_exit(x):
+    """3x3 stride-2 pad-1 max pool (the ResNet/ResNeXt stem pool) expressed
+    in s2d space: output row 2o+a-1 for tap a maps to sub-position d=(a+1)%2
+    of block o-(a==0), so the 9 window taps are 9 aligned channel slices
+    (3 of them block-shifted, -inf padded at the leading edge) — one fused
+    elementwise max pass, and the output is already in NORMAL space at half
+    resolution.
+
+    Gradient routes to the FIRST maximal tap in torch's row-major window
+    order via the same ge-cascade as :func:`s2d_max_pool_exit`."""
+    n, hb, wb, cc = x.shape
+    c = cc // 4
+    v = x.reshape(n, hb, wb, 2, 2, c)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+
+    def shift_down_edge(t, axis):
+        pad = jnp.full_like(jax.lax.slice_in_dim(t, 0, 1, axis=axis), neg)
+        return jnp.concatenate(
+            [pad, jax.lax.slice_in_dim(t, 0, t.shape[axis] - 1, axis=axis)],
+            axis=axis)
+
+    # tap a: (needs block shift, sub-position) — a=0 reads block o-1 at d=1
+    sel = {0: (True, 1), 1: (False, 0), 2: (False, 1)}
+    best = None
+    for ar in range(3):
+        shift_r, dy = sel[ar]
+        for ac in range(3):
+            shift_c, dx = sel[ac]
+            t = v[..., dy, dx, :]
+            if shift_r:
+                t = shift_down_edge(t, 1)
+            if shift_c:
+                t = shift_down_edge(t, 2)
+            best = t if best is None else jnp.where(best >= t, best, t)
+    return best
+
+
 def s2d_max_pool_exit(x):
     """2x2/2 max pool expressed in s2d space: the pool window IS the s2d
     block, so the result is a per-channel max over the 4 sub-positions —

@@ -430,6 +430,45 @@ def test_deconv_s2d_kernel_matches_conv_transpose():
     assert max(errs) < 1e-5, max(errs)
 
 
+@pytest.mark.parametrize("model_name", ["squeezenet", "linknext"])
+def test_stem_s2d_exact_in_float64(model_name):
+    """SqueezeNet / LinkNext s2d stems (s2d stem conv, pool exits, s2d skip
+    + head for squeezenet, grouped BN stats for linknext) are EXACTLY the
+    normal-path math — ~1e-12 forward and ~1e-9 grads in float64, where
+    BN-stat rounding cannot hide a wiring bug."""
+    import dataclasses
+
+    from segtpu.models import get_model
+
+    with jax.enable_x64(True):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float64))
+        m0 = get_model(model_name)
+        m1 = dataclasses.replace(m0, s2d=True)
+        v = m0.init(jax.random.PRNGKey(0), x, True)
+        v = jax.tree.map(
+            lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a, v)
+
+        def fwd(m):
+            out, _ = m.apply(v, x, True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+            return out
+
+        assert float(jnp.max(jnp.abs(fwd(m0) - fwd(m1)))) < 1e-11
+
+        def loss(m, params):
+            vv = {"params": params, **{k: v[k] for k in v if k != "params"}}
+            out, _ = m.apply(vv, x, True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.mean(out ** 2)
+
+        g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+        g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+        errs = jax.tree.leaves(
+            jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1))
+        assert max(errs) < 1e-9, max(errs)
+
+
 @pytest.mark.parametrize("model_name", ["unet11", "unet16"])
 def test_ternaus_s2d_matches_normal(model_name):
     """UNet11/UNet16 s2d execution (s2d VGG stem, deconv-to-s2d dec2,

@@ -118,8 +118,10 @@ SWEEP = [
     ("unet16", 224, 32, False),
     ("unet16", 224, 32, True),
     ("linknext", 224, 32, False),
+    ("linknext", 224, 32, True),
     ("dilated_linknet34", 224, 32, False),
     ("squeezenet", 224, 32, False),
+    ("squeezenet", 224, 32, True),
     ("gcn34", 224, 32, False),
     ("gcn", 224, 16, False),
     ("psp_net", 224, 16, False),
