@@ -40,7 +40,9 @@ def build_arg_parser():
                              "checkpoints)")
     parser.add_argument("-p", "--patch-size", type=int, default=224)
     parser.add_argument("-b", "--batch-size", type=int, default=1,
-                        help="Batch Size during inference")
+                        help="Batch Size during inference (default 1 matches "
+                             "the reference CLI; 64 is the measured TPU "
+                             "sweet spot for 512-tile sweeps, BASELINE.md)")
     parser.add_argument("-dd", "--data-dir", type=str, default="data",
                         help="Root directory where datasets are located.")
     parser.add_argument("-x", "--experiment", type=str,
