@@ -22,6 +22,12 @@ def get_dataset(
     if name == "shapes":
         return SHAPES(patch_size, grayscale=grayscale)
 
+    if name in ("shapes-device", "shapes_device"):
+        # TPU-first extra (not a reference name): SHAPES with the whole
+        # input pipeline generated under jit on the accelerator
+        from segtpu.data.shapes import SHAPES_DEVICE
+        return SHAPES_DEVICE(patch_size, grayscale=grayscale)
+
     if name == "dsb2018":
         from segtpu.data.dsb2018 import DSB2018Sliced
         return DSB2018Sliced(dataset_dir, grayscale, patch_size)

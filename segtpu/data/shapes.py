@@ -147,6 +147,91 @@ class DeviceShapes:
         return self._gen(key, batch_size)
 
 
+class DeviceShapesSet:
+    """Device-resident SHAPES, registered as ``shapes-device``.
+
+    The whole input pipeline is a jitted generator on the accelerator —
+    zero host work per batch beyond a PRNG-key fold, so the chip can never
+    starve on input (SURVEY.md §7 "Input pipeline throughput"; the
+    reference instead hides CPU augmentation cost in DataLoader worker
+    processes, torch_train.py:384-385 — on a slow host that path gates the
+    step rate). Sample semantics mirror the host ``shapes`` registry entry
+    (1024 train / 128 val, reference lib/datasets/shapes.py:62-69): train
+    samples are keyed by (seed, epoch, step) — fresh every epoch like the
+    host path — while the val set ignores the epoch so every epoch
+    evaluates the same samples.
+    """
+
+    def __init__(self, n: int, patch_size: int, seed: int = 0,
+                 fixed: bool = False, grayscale: bool = False):
+        self.n = n
+        self.patch_size = patch_size
+        self.seed = seed
+        self.fixed = fixed
+        self.grayscale = grayscale
+
+    def __len__(self):
+        return self.n
+
+    @property
+    def num_channels(self) -> int:
+        return 1 if self.grayscale else 3
+
+    def take(self, n: int) -> "DeviceShapesSet":
+        """A copy truncated to ``n`` samples (the `-s` step-cap analogue of
+        ``pipeline.Subset``)."""
+        return DeviceShapesSet(min(self.n, n), self.patch_size,
+                               seed=self.seed, fixed=self.fixed,
+                               grayscale=self.grayscale)
+
+    def loader(self, batch_size: int):
+        return DeviceShapesLoader(self, batch_size)
+
+
+class DeviceShapesLoader:
+    """Loader-interface adapter over :class:`DeviceShapes`.
+
+    Quacks like :class:`segtpu.data.pipeline.DataLoader` (``__len__`` /
+    ``set_epoch`` / iteration, ``drop_last`` semantics) but yields
+    device-resident batches; ``prefetch_to_device`` passes them through
+    (``device_put`` of a ``jax.Array`` under the mesh sharding is a cheap
+    on-device reshard, no host copy)."""
+
+    def __init__(self, spec: DeviceShapesSet, batch_size: int):
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "shapes-device generates global batches on one process; "
+                "use the host `shapes` loader for multi-host runs")
+        self.spec = spec
+        self.batch_size = batch_size
+        self.epoch = 0
+        gen = DeviceShapes(spec.patch_size, normalize=not spec.grayscale)
+        if spec.grayscale:
+            # match the host path's order: luma from raw 0-255 RGB, then
+            # grayscale ImageNet normalization (ShapesDataset.__getitem__)
+            def gray_batch(key, b):
+                x, y = gen._gen_batch(key, b)
+                x = (x @ jnp.asarray(GRAY_WEIGHTS))[..., None]
+                x = (x / 255.0 - IMAGENET_GRAY_MEAN) / IMAGENET_GRAY_STD
+                return x, y
+
+            self._batch = jax.jit(gray_batch, static_argnums=(1,))
+        else:
+            self._batch = gen.batch
+
+    def __len__(self):
+        return self.spec.n // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = 0 if self.spec.fixed else epoch
+
+    def __iter__(self):
+        base = jax.random.fold_in(
+            jax.random.PRNGKey(self.spec.seed), self.epoch)
+        for i in range(len(self)):
+            yield self._batch(jax.random.fold_in(base, i), self.batch_size)
+
+
 def SHAPES(patch_size: int, seed: int = 0, grayscale: bool = False):
     """Factory: (train_ds, valid_ds, num_classes) — 1024/128 steps, 1 class
     (reference lib/datasets/shapes.py:62-69)."""
@@ -154,5 +239,17 @@ def SHAPES(patch_size: int, seed: int = 0, grayscale: bool = False):
         ShapesDataset(1024, patch_size, seed=seed, grayscale=grayscale),
         ShapesDataset(128, patch_size, seed=seed + 1_000_000,
                       grayscale=grayscale),
+        1,
+    )
+
+
+def SHAPES_DEVICE(patch_size: int, seed: int = 0, grayscale: bool = False):
+    """Factory for ``shapes-device``: same split sizes/class count as
+    :func:`SHAPES`, but the samples are generated under jit on the
+    accelerator (fully host-free input pipeline)."""
+    return (
+        DeviceShapesSet(1024, patch_size, seed=seed, grayscale=grayscale),
+        DeviceShapesSet(128, patch_size, seed=seed + 1_000_000, fixed=True,
+                        grayscale=grayscale),
         1,
     )

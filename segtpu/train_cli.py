@@ -22,6 +22,7 @@ import numpy as np
 import jax
 
 from segtpu.data import DataLoader, get_dataset
+from segtpu.data.shapes import DeviceShapesSet
 from segtpu.models import get_model
 from segtpu.ops import default_metrics, get_loss
 from segtpu.parallel import batch_sharding, make_mesh, replicate
@@ -192,15 +193,22 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             patch_size=args.patch_size, keep_in_mem=args.memory,
         )
     if args.steps is not None and args.steps > 0:
-        from segtpu.data.pipeline import Subset
-        trainset = Subset(trainset, args.steps * args.batch_size)
-        validset = Subset(validset, max(args.steps // 4, 1) * args.batch_size)
+        if isinstance(trainset, DeviceShapesSet):
+            trainset = trainset.take(args.steps * args.batch_size)
+            validset = validset.take(max(args.steps // 4, 1) * args.batch_size)
+        else:
+            from segtpu.data.pipeline import Subset
+            trainset = Subset(trainset, args.steps * args.batch_size)
+            validset = Subset(validset,
+                              max(args.steps // 4, 1) * args.batch_size)
 
     # Input channels follow the data, not the -g flag alone: shapes yields
     # true 1-channel under -g, while dsb2018/inria keep 3 channels with
     # grayscaled content (reference semantics — RandomGrayscale(p=1) stays
     # 3-channel, torch_train.py:336 / Inria.py:27).
-    num_channels = int(np.asarray(trainset[0][0]).shape[-1])
+    num_channels = getattr(trainset, "num_channels", None)
+    if num_channels is None:
+        num_channels = int(np.asarray(trainset[0][0]).shape[-1])
 
     if model_builder is not None:
         model = model_builder(args, num_channels)
@@ -291,10 +299,18 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     print("Devices       ", jax.device_count(), jax.default_backend())
 
     workers = args.workers if args.workers > 0 else 4
-    trainloader = DataLoader(trainset, batch_size=args.batch_size, shuffle=True,
-                             workers=workers, drop_last=True)
-    validloader = DataLoader(validset, batch_size=args.batch_size, shuffle=False,
-                             workers=workers, drop_last=True)
+    if isinstance(trainset, DeviceShapesSet):
+        # shapes-device: batches are generated under jit on the
+        # accelerator — the thread-pool host loader would only add hops
+        trainloader = trainset.loader(args.batch_size)
+        validloader = validset.loader(args.batch_size)
+    else:
+        trainloader = DataLoader(trainset, batch_size=args.batch_size,
+                                 shuffle=True, workers=workers,
+                                 drop_last=True)
+        validloader = DataLoader(validset, batch_size=args.batch_size,
+                                 shuffle=False, workers=workers,
+                                 drop_last=True)
 
     start_epoch = 0
     best_loss = np.inf

@@ -45,8 +45,12 @@ def main():
                                  grayscale=args.grayscale,
                                  patch_size=args.patch_size,
                                  keep_in_mem=args.memory)
-    loader = DataLoader(trainset, batch_size=args.batch_size, shuffle=True,
-                        workers=args.workers)
+    from segtpu.data.shapes import DeviceShapesSet
+    if isinstance(trainset, DeviceShapesSet):
+        loader = trainset.loader(args.batch_size)
+    else:
+        loader = DataLoader(trainset, batch_size=args.batch_size,
+                            shuffle=True, workers=args.workers)
 
     lrs, losses = find_optimal_lr(state, get_loss(args.loss), loader)
     print("lrs   ", lrs)

@@ -197,3 +197,24 @@ def test_train_cli_s2d(tmp_path):
     args[args.index("-e") + 1] = "2"
     history2 = main(args)
     assert history2["epoch"] == [0, 1]
+
+
+def test_train_cli_shapes_device(tmp_path):
+    """shapes-device end-to-end: the input pipeline is generated under jit
+    on the accelerator (no host loader), incl. -s step cap and resume."""
+    from segtpu.train_cli import main
+
+    args = _common(tmp_path, ["-m", "unet"])
+    args[args.index("-d") + 1] = "shapes-device"
+    history = main(args)
+    assert history["epoch"] == [0]
+    assert np.isfinite(history["loss"][0])
+    exp_dir = (tmp_path / "experiments" / "shapes-device" / "bce"
+               / "shapes-device_unet_32_rgb_bce")
+    assert (exp_dir / "unet_checkpoint.ckpt" / "state.msgpack").exists()
+
+    args = _common(tmp_path, ["-m", "unet", "-r"])
+    args[args.index("-d") + 1] = "shapes-device"
+    args[args.index("-e") + 1] = "2"
+    history = main(args)
+    assert history["epoch"] == [0, 1]

@@ -135,3 +135,44 @@ def test_concat_dataset_indexing():
     cd = ConcatDataset([Fake([0, 1]), Fake([2]), Fake([3, 4, 5])])
     assert len(cd) == 6
     assert [cd[i] for i in range(6)] == [0, 1, 2, 3, 4, 5]
+
+
+def test_shapes_device_registry_and_loader():
+    """shapes-device: jit-generated batches, host-free pipeline; same split
+    sizes/class count as the host `shapes` entry."""
+    import jax.numpy as jnp
+
+    from segtpu.data.shapes import DeviceShapesSet
+
+    train, valid, nc = get_dataset("shapes-device", patch_size=32)
+    assert nc == 1 and isinstance(train, DeviceShapesSet)
+    assert len(train) == 1024 and len(valid) == 128
+    assert train.num_channels == 3
+
+    loader = train.take(8).loader(batch_size=4)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    x, y = batches[0]
+    assert isinstance(x, jnp.ndarray) and x.shape == (4, 32, 32, 3)
+    assert y.shape == (4, 32, 32, 1)
+    assert set(np.unique(np.asarray(y))) <= {0.0, 1.0}
+
+    # train batches are fresh per epoch; the val split ignores the epoch
+    loader.set_epoch(1)
+    x1, _ = next(iter(loader))
+    assert not np.allclose(np.asarray(x), np.asarray(x1))
+    vloader = valid.take(8).loader(batch_size=4)
+    v0 = np.asarray(next(iter(vloader))[0])
+    vloader.set_epoch(3)
+    assert np.array_equal(v0, np.asarray(next(iter(vloader))[0]))
+
+
+def test_shapes_device_grayscale():
+    """-g on shapes-device: luma-from-raw then gray normalization, matching
+    the host ShapesDataset order."""
+    train, _, _ = get_dataset("shapes-device", patch_size=32, grayscale=True)
+    assert train.num_channels == 1
+    x, y = next(iter(train.take(4).loader(batch_size=4)))
+    assert x.shape == (4, 32, 32, 1) and y.shape == (4, 32, 32, 1)
+    assert np.isfinite(np.asarray(x)).all()
