@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from segtpu.models import register
 from segtpu.models.layers import (
@@ -72,6 +73,7 @@ class DenseBlock(nn.Module):
     upsample: bool = False
     dtype: Optional[jnp.dtype] = None
     in_parts: Optional[tuple] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -84,6 +86,27 @@ class DenseBlock(nn.Module):
                 x = jnp.concatenate([x, out], axis=-1)
                 parts = parts + (self.growth_rate,)
             return x
+        if self.packed:
+            # Packed growth: one preallocated buffer, each layer appended via
+            # a static-offset dynamic_update_slice instead of rebuilding the
+            # running concat (the concat formulation rewrites all prior
+            # channels every layer — O(n^2·g) HBM writes). Exact math: the
+            # zero-filled tail is never read before it is written.
+            n_in = x.shape[-1]
+            total = n_in + self.n_layers * self.growth_rate
+            buf = jnp.zeros(x.shape[:-1] + (total,), x.dtype)
+            buf = lax.dynamic_update_slice_in_dim(buf, x, 0, 3)
+            c = n_in
+            for i in range(self.n_layers):
+                out = DenseLayer(self.growth_rate, self.dtype,
+                                 name=f"layer{i}")(
+                    lax.slice_in_dim(buf, 0, c, axis=3), train)
+                buf = lax.dynamic_update_slice_in_dim(
+                    buf, out.astype(buf.dtype), c, 3)
+                c += self.growth_rate
+            if self.upsample:
+                return lax.slice_in_dim(buf, n_in, total, axis=3)
+            return buf
         new_features = []
         for i in range(self.n_layers):
             out = DenseLayer(self.growth_rate, self.dtype, name=f"layer{i}")(x, train)
@@ -160,11 +183,15 @@ class FCDenseNet(nn.Module):
     n_classes: int = 12
     remat: bool = False
     s2d: bool = False  # s2d execution of the full-res level (exact math)
+    packed: bool = False  # packed dense-block growth (exact math, see DenseBlock)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         Block = nn.remat(DenseBlock, static_argnums=(2,)) if self.remat else DenseBlock
+        if self.packed:
+            import functools
+            Block = functools.partial(Block, packed=True)
         use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
         skips = []

@@ -75,6 +75,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "in backward for shapes that exceed HBM. "
                              "Default off — XLA's own scheduling measured "
                              "faster at the benchmark shapes (BASELINE.md)")
+    parser.add_argument("--packed", action="store_true",
+                        help="Packed dense-block growth for models that "
+                             "support it (tiramisu*): append layers into a "
+                             "preallocated buffer via in-place "
+                             "dynamic_update_slice instead of rebuilding "
+                             "the running concat every layer (exact math)")
     parser.add_argument("--light-logging", action="store_true",
                         help="Skip per-epoch image grids and weight histograms")
     parser.add_argument("--no-tensorboard", action="store_true")
@@ -228,6 +234,12 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
             raise SystemExit(f"--remat: model '{args.model}' has no remat mode")
         import dataclasses
         model = dataclasses.replace(model, remat=True)
+    if args.packed:
+        if not hasattr(model, "packed"):
+            raise SystemExit(
+                f"--packed: model '{args.model}' has no packed mode")
+        import dataclasses
+        model = dataclasses.replace(model, packed=True)
 
     if writer is not None:
         # model structure summary (the add_graph equivalent,

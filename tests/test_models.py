@@ -134,3 +134,63 @@ def test_unet_param_count_matches_reference():
         v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
         n = sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
         assert n == expected, (name, n, expected)
+
+
+class TestTiramisuPacked:
+    """FCDenseNet packed=True == packed=False: the packed execution mode
+    grows dense blocks in a preallocated buffer (static-offset
+    dynamic_update_slice appends) instead of rebuilding the running concat
+    every layer. Exact math, identical param tree, identical dropout RNG
+    consumption (same submodule names)."""
+
+    def _models(self):
+        import dataclasses
+
+        from segtpu.models.tiramisu import FCDenseNet
+
+        base = FCDenseNet(down_blocks=(2, 2), up_blocks=(2, 2),
+                          bottleneck_layers=2, growth_rate=8,
+                          out_chans_first_conv=12, n_classes=1)
+        return base, dataclasses.replace(base, packed=True)
+
+    def test_forward_and_grad_equivalence(self):
+        base, packed = self._models()
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+        vb = base.init(jax.random.PRNGKey(0), x, train=False)
+        vp = packed.init(jax.random.PRNGKey(0), x, train=False)
+        pb = jax.tree_util.tree_leaves_with_path(vb)
+        pp = jax.tree_util.tree_leaves_with_path(vp)
+        assert [p for p, _ in pb] == [p for p, _ in pp]
+
+        yb = base.apply(vb, x, train=False)
+        yp = packed.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yb), atol=1e-5)
+
+        def loss(variables, model):
+            out, _ = model.apply(
+                variables, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out ** 2)
+
+        gb = jax.grad(loss)(vb, base)
+        gp = jax.grad(loss)(vb, packed)
+        for a, b in zip(jax.tree_util.tree_leaves(gb),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_packed_upsample_block(self):
+        """upsample=True blocks (bottleneck / up path) return only the new
+        features; the packed path must slice them out identically."""
+        from segtpu.models.tiramisu import DenseBlock
+
+        rng = np.random.RandomState(12)
+        x = jnp.asarray(rng.randn(2, 8, 8, 12).astype(np.float32))
+        blk = DenseBlock(growth_rate=8, n_layers=3, upsample=True)
+        pblk = DenseBlock(growth_rate=8, n_layers=3, upsample=True, packed=True)
+        v = blk.init(jax.random.PRNGKey(0), x, train=False)
+        yb = blk.apply(v, x, train=False)
+        yp = pblk.apply(v, x, train=False)
+        assert yb.shape == (2, 8, 8, 24)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yb), atol=1e-5)

@@ -31,7 +31,7 @@ V5E_PEAK_HBM_GBS = 819.0
 
 def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
                loss_name: str = "bce", optimizer: str = "sgd",
-               remat=None, s2d: bool = False):
+               remat=None, s2d: bool = False, packed: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +48,8 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
         model = dataclasses.replace(model, remat=remat)
     if s2d and hasattr(model, "s2d"):
         model = dataclasses.replace(model, s2d=True)
+    if packed and hasattr(model, "packed"):
+        model = dataclasses.replace(model, packed=True)
     tx = get_optimizer(optimizer, 1e-3)
     state = create_train_state(model, tx, (batch, patch, patch, 3))
     x, y = DeviceShapes(patch).batch(jax.random.PRNGKey(0), batch)
@@ -57,12 +59,12 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
 
 def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
             bf16: bool = True, loss_name: str = "bce", optimizer: str = "sgd",
-            remat=None, s2d: bool = False,
+            remat=None, s2d: bool = False, packed: bool = False,
             profile_dir: str | None = None) -> dict:
     import jax
 
     step, state, batch_xy = build_step(
-        model_name, patch, batch, bf16, loss_name, optimizer, remat, s2d)
+        model_name, patch, batch, bf16, loss_name, optimizer, remat, s2d, packed)
     rng = jax.random.PRNGKey(0)
 
     lowered = step.lower(state, batch_xy, 1e-3, rng)
@@ -91,7 +93,7 @@ def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
     tflops = flops / dt / 1e12
     gbs = bytes_accessed / dt / 1e9
     return {
-        "model": model_name + ("+s2d" if s2d else ""),
+        "model": model_name + ("+s2d" if s2d else "") + ("+packed" if packed else ""),
         "patch": patch,
         "batch": batch,
         "img_per_s": round(batch / dt, 1),
@@ -149,6 +151,7 @@ def main():
     p.add_argument("--no-remat", action="store_true",
                    help="force remat OFF for models that default it on")
     p.add_argument("--s2d", action="store_true")
+    p.add_argument("--packed", action="store_true")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--sweep", action="store_true")
     args = p.parse_args()
@@ -170,7 +173,7 @@ def main():
     r = analyze(args.model, args.patch, args.batch, steps=args.steps,
                 bf16=not args.fp32, loss_name=args.loss,
                 optimizer=args.optimizer, remat=remat, s2d=args.s2d,
-                profile_dir=args.profile_dir)
+                packed=args.packed, profile_dir=args.profile_dir)
     print(json.dumps(r))
 
 
