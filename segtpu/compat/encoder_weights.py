@@ -47,6 +47,8 @@ ENCODER_SPECS: Dict[str, EncoderSpec] = {
     # reference dilated_linknet.py:48 dilated_resnet34 (same torchvision keys)
     "dilated_linknet34": EncoderSpec(
         "resnet", (("linknet", "encoder"),), layers=(3, 4, 6, 3)),
+    # AlbuNet (BASELINE.json config #3): resnet34 encoder, same torchvision keys
+    "albunet": EncoderSpec("resnet", (("encoder",),), layers=(3, 4, 6, 3)),
     # reference gcn152.py:69 resnet34 / :125 resnet152
     "gcn34": EncoderSpec("resnet", (("encoder",),), layers=(3, 4, 6, 3)),
     "gcn": EncoderSpec("resnet", (("encoder",),), layers=(3, 8, 36, 3),

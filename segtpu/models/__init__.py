@@ -47,6 +47,7 @@ def _lazy_registrations():
     from segtpu.models import duc_hdc  # noqa: F401
     from segtpu.models import squeezenet  # noqa: F401
     from segtpu.models import linknext  # noqa: F401
+    from segtpu.models import albunet  # noqa: F401
 
 
 def get_model(model_name: str, patch_size: int = 224, num_channels: int = 3):

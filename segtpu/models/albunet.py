@@ -1,0 +1,66 @@
+"""AlbuNet: U-Net with a ResNet-34 encoder.
+
+Named by BASELINE.json config #3 ("TernausNet VGG11/VGG16 + AlbuNet") but
+absent from the reference repo's registry — this is the public AlbuNet
+architecture (ternausnet companion model, arXiv:1801.05746 lineage): the
+torchvision ResNet-34 feature pyramid as the encoder, TernausNet-style
+decoder blocks (ConvRelu -> deconv k4 s2 p1 -> ReLU, ternaus.DecoderBlock)
+with concat skips at each scale, a final ConvRelu + 1x1 head.
+
+Composition of existing parts: encoders/resnet.resnet34 (NHWC Flax,
+``--encoder-weights`` transplant + ``--freeze-encoder`` supported via
+compat/encoder_weights.py) and ternaus.ConvRelu/DecoderBlock.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from segtpu.models import register
+from segtpu.models.encoders.resnet import resnet34
+from segtpu.models.layers import Conv, max_pool
+from segtpu.models.ternaus import ConvRelu, DecoderBlock
+
+
+class AlbuNet(nn.Module):
+    """ResNet34-encoder U-Net (public AlbuNet, deconv decoder variant).
+
+    Scale bookkeeping (input 1/1): encoder stem+pool 1/4 (= layer1 input),
+    e1..e4 at 1/4, 1/8, 1/16, 1/32; center pools e4 to 1/64 and the six
+    decoder blocks upsample back to full resolution.
+    """
+
+    num_classes: int = 1
+    num_channels: int = 3
+    num_filters: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.num_filters
+        enc = resnet34(dtype=self.dtype)
+        _stem, e1, e2, e3, e4 = enc.copy(name="encoder")(x, train)
+
+        center = DecoderBlock(nf * 8 * 2, nf * 8, self.dtype, name="center")(
+            max_pool(e4))
+        dec5 = DecoderBlock(nf * 8 * 2, nf * 8, self.dtype, name="dec5")(
+            jnp.concatenate([center, e4], -1))
+        dec4 = DecoderBlock(nf * 8 * 2, nf * 8, self.dtype, name="dec4")(
+            jnp.concatenate([dec5, e3], -1))
+        dec3 = DecoderBlock(nf * 4 * 2, nf * 2, self.dtype, name="dec3")(
+            jnp.concatenate([dec4, e2], -1))
+        dec2 = DecoderBlock(nf * 2 * 2, nf * 2 * 2, self.dtype, name="dec2")(
+            jnp.concatenate([dec3, e1], -1))
+        dec1 = DecoderBlock(nf * 2 * 2, nf, self.dtype, name="dec1")(dec2)
+        dec0 = ConvRelu(nf, self.dtype, name="dec0")(dec1)
+        out = Conv(self.num_classes, 1, padding=0, dtype=self.dtype,
+                   name="final")(dec0)
+        return out.astype(jnp.float32)
+
+
+@register("albunet")
+def _albunet(patch_size, num_channels):
+    return AlbuNet(num_channels=num_channels, num_classes=1)

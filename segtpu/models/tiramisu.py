@@ -66,7 +66,10 @@ class DenseBlock(nn.Module):
     returns only the newly produced features.
 
     ``in_parts`` (s2d mode, non-upsample only): the running concat stays a
-    lane-aligned block layout; each layer handles it via ``in_parts``."""
+    lane-aligned block layout; each layer handles it via ``in_parts``.
+    When both ``in_parts`` and ``packed`` are set, the s2d block layout
+    takes precedence and this block keeps the concat formulation — packed
+    growth applies only to normal-space blocks."""
 
     growth_rate: int
     n_layers: int
@@ -92,20 +95,21 @@ class DenseBlock(nn.Module):
             # running concat (the concat formulation rewrites all prior
             # channels every layer — O(n^2·g) HBM writes). Exact math: the
             # zero-filled tail is never read before it is written.
+            ch_axis = x.ndim - 1
             n_in = x.shape[-1]
             total = n_in + self.n_layers * self.growth_rate
             buf = jnp.zeros(x.shape[:-1] + (total,), x.dtype)
-            buf = lax.dynamic_update_slice_in_dim(buf, x, 0, 3)
+            buf = lax.dynamic_update_slice_in_dim(buf, x, 0, ch_axis)
             c = n_in
             for i in range(self.n_layers):
                 out = DenseLayer(self.growth_rate, self.dtype,
                                  name=f"layer{i}")(
-                    lax.slice_in_dim(buf, 0, c, axis=3), train)
+                    lax.slice_in_dim(buf, 0, c, axis=ch_axis), train)
                 buf = lax.dynamic_update_slice_in_dim(
-                    buf, out.astype(buf.dtype), c, 3)
+                    buf, out.astype(buf.dtype), c, ch_axis)
                 c += self.growth_rate
             if self.upsample:
-                return lax.slice_in_dim(buf, n_in, total, axis=3)
+                return lax.slice_in_dim(buf, n_in, total, axis=ch_axis)
             return buf
         new_features = []
         for i in range(self.n_layers):

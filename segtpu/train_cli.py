@@ -80,7 +80,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "support it (tiramisu*): append layers into a "
                              "preallocated buffer via in-place "
                              "dynamic_update_slice instead of rebuilding "
-                             "the running concat every layer (exact math)")
+                             "the running concat every layer (exact math). "
+                             "With --s2d, the full-res s2d block keeps the "
+                             "concat formulation (packed covers the "
+                             "normal-space blocks only)")
     parser.add_argument("--light-logging", action="store_true",
                         help="Skip per-epoch image grids and weight histograms")
     parser.add_argument("--no-tensorboard", action="store_true")

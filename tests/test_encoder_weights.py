@@ -74,6 +74,7 @@ def test_convert_torch_resnet_forward_parity(layers, bottleneck):
 
 @pytest.mark.parametrize("model_name,patch", [
     ("linknet34", 64), ("gcn34", 64), ("dilated_linknet34", 64),
+    ("albunet", 64),
 ])
 def test_install_encoder_weights_resnet_models(model_name, patch, tmp_path):
     spec = ENCODER_SPECS[model_name]

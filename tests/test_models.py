@@ -12,7 +12,7 @@ from segtpu.models import get_model, model_names
 
 
 FAST_MODELS = ["unet", "unet_abn", "zf_unet", "linknet34", "dilated_linknet34",
-               "unet11", "squeezenet", "linknext"]
+               "unet11", "squeezenet", "linknext", "albunet"]
 SLOW_MODELS = ["unet16", "tiramisu57", "tiramisu67", "gcn34"]
 HEAVY_MODELS = ["gcn", "psp_net", "duc", "duc_dc", "tiramisu103"]
 

@@ -61,9 +61,11 @@ for batch in prefetch_to_device(loader, batch_sharding(mesh)):
 
 psum = float(sum(float(jnp.sum(jnp.abs(p)))
                  for p in jax.tree_util.tree_leaves(state.params)))
+bnsum = float(sum(float(jnp.sum(jnp.abs(s)))
+                  for s in jax.tree_util.tree_leaves(state.batch_stats)))
 if pid == 0:
     with open(out, "w") as f:
-        json.dump({"losses": losses, "psum": psum}, f)
+        json.dump({"losses": losses, "psum": psum, "bnsum": bnsum}, f)
 """
 
 
@@ -94,7 +96,9 @@ def _single_process_reference():
         losses.append(float(logs["loss"]))
     psum = float(sum(float(jnp.sum(jnp.abs(p)))
                      for p in jax.tree_util.tree_leaves(state.params)))
-    return losses, psum
+    bnsum = float(sum(float(jnp.sum(jnp.abs(s)))
+                      for s in jax.tree_util.tree_leaves(state.batch_stats)))
+    return losses, psum, bnsum
 
 
 def test_two_process_global_step_equals_single_process(tmp_path):
@@ -121,6 +125,8 @@ def test_two_process_global_step_equals_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{text[-3000:]}"
     result = json.loads(out.read_text())
 
-    ref_losses, ref_psum = _single_process_reference()
+    ref_losses, ref_psum, ref_bnsum = _single_process_reference()
     np.testing.assert_allclose(result["losses"], ref_losses, rtol=1e-6)
     np.testing.assert_allclose(result["psum"], ref_psum, rtol=1e-6)
+    # synchronized BN running stats also match the single-process run
+    np.testing.assert_allclose(result["bnsum"], ref_bnsum, rtol=1e-6)

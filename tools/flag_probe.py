@@ -47,7 +47,7 @@ def main():
 
     import jax
 
-    step, state, batch_xy = build_step(
+    step, state, batch_xy, _applied = build_step(
         args.model, args.patch, args.batch, s2d=not args.no_s2d)
     rng = jax.random.PRNGKey(0)
 

@@ -46,15 +46,24 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
         model = dataclasses.replace(model, dtype=jnp.bfloat16)
     if remat is not None and hasattr(model, "remat"):
         model = dataclasses.replace(model, remat=remat)
-    if s2d and hasattr(model, "s2d"):
+    # Track which requested modes actually applied so result rows are never
+    # mislabeled for models lacking the attribute (train_cli raises instead).
+    applied = {"s2d": False, "packed": False}
+    if s2d:
+        if not hasattr(model, "s2d"):
+            raise SystemExit(f"model {model_name!r} has no s2d mode")
         model = dataclasses.replace(model, s2d=True)
-    if packed and hasattr(model, "packed"):
+        applied["s2d"] = True
+    if packed:
+        if not hasattr(model, "packed"):
+            raise SystemExit(f"model {model_name!r} has no packed mode")
         model = dataclasses.replace(model, packed=True)
+        applied["packed"] = True
     tx = get_optimizer(optimizer, 1e-3)
     state = create_train_state(model, tx, (batch, patch, patch, 3))
     x, y = DeviceShapes(patch).batch(jax.random.PRNGKey(0), batch)
     step = make_train_step(get_loss(loss_name), default_metrics(), donate=True)
-    return step, state, (x, y)
+    return step, state, (x, y), applied
 
 
 def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
@@ -63,7 +72,7 @@ def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
             profile_dir: str | None = None) -> dict:
     import jax
 
-    step, state, batch_xy = build_step(
+    step, state, batch_xy, applied = build_step(
         model_name, patch, batch, bf16, loss_name, optimizer, remat, s2d, packed)
     rng = jax.random.PRNGKey(0)
 
@@ -93,7 +102,8 @@ def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
     tflops = flops / dt / 1e12
     gbs = bytes_accessed / dt / 1e9
     return {
-        "model": model_name + ("+s2d" if s2d else "") + ("+packed" if packed else ""),
+        "model": model_name + ("+s2d" if applied["s2d"] else "")
+                 + ("+packed" if applied["packed"] else ""),
         "patch": patch,
         "batch": batch,
         "img_per_s": round(batch / dt, 1),
