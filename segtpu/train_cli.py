@@ -103,6 +103,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Freeze the encoder subtree (zero gradients) - "
                              "the frozen-then-finetune workflow for "
                              "pretrained-encoder models")
+    parser.add_argument("--init-torch", type=str, default=None,
+                        help="Local torch .pth with a FULL reference-format "
+                             "state_dict for this model (as saved by "
+                             "torch.save(model.state_dict())); transplanted "
+                             "into params+batch_stats before training. Used "
+                             "by the A/B harness (tools/ab_nuclei.py) to "
+                             "start both frameworks from identical weights")
     parser.add_argument("--encoder-weights", type=str, default=None,
                         help="Local torch .pth with torchvision-format "
                              "encoder weights (resnet34/101/152 or "
@@ -270,6 +277,20 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     state = create_train_state(
         model, tx, (args.batch_size, args.patch_size, args.patch_size, num_channels)
     )
+    if args.init_torch:
+        import torch
+
+        from segtpu.compat.torch_import import transplant_state_dict
+        sd = torch.load(args.init_torch, map_location="cpu",
+                        weights_only=False)
+        if isinstance(sd, dict) and "model" in sd:  # full reference snapshot
+            sd = sd["model"]
+        new_params, new_stats = transplant_state_dict(
+            args.model, sd, {"params": state.params,
+                             "batch_stats": state.batch_stats})
+        state = state.replace(params=new_params, batch_stats=new_stats,
+                              opt_state=state.tx.init(new_params))
+        print("Torch weights transplanted from", args.init_torch)
     if args.encoder_weights:
         from segtpu.compat.encoder_weights import install_encoder_weights
         new_params, new_stats = install_encoder_weights(
