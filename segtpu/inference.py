@@ -137,23 +137,13 @@ def predict_full(image: np.ndarray, predict_fn: Callable, test_transform=None,
     return unpad(mask, pads)
 
 
-def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
-                  patch_size: int = 224, batch_size: int = 8,
-                  tta: bool = True, weight: str = "pyramid",
-                  mesh=None, slice_on_device: bool = True,
-                  threshold: float = None) -> np.ndarray:
-    """Sliding-window tiled prediction with weighted fusion + D4 TTA
-    (reference predict_tiled, inria_submit.py:237-257: step = patch/2,
-    pyramid weights).
-
-    Device-resident end to end: the (reflect-padded) image transfers ONCE,
-    tiles are gathered on-chip inside the compiled sweep (``lax.map`` over
-    fixed-size chunks: dynamic-slice -> TTA expand -> model -> TTA inverse),
-    the pyramid merge is a scatter-add, and only the fused mask returns — vs
-    the reference's per-batch CPU<->GPU round trips (inria_submit.py:248-253)
-    and vs shipping the (overlap-duplicated) tile batch.
-    ``slice_on_device=False`` falls back to host slicing (native tileio).
-    """
+def _prep_tiled(image: np.ndarray, test_transform, patch_size: int,
+                batch_size: int, tta: bool, weight: str, mesh,
+                slice_on_device: bool):
+    """Host half of predict_tiled: transform fallback, compact dtype,
+    slicer geometry, reflect pad / tile split, and the device upload. Pure
+    host CPU + one async transfer — safe to run in a prefetch thread while
+    the device sweeps the previous image."""
     affine = _device_affine(test_transform)
     if affine is None and test_transform is not None:
         image, _ = test_transform(image, None)
@@ -187,24 +177,40 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
              (slicer.margin_left, slicer.margin_right), (0, 0)],
             mode="reflect",
         )
-        preds = _run_tiles_gather(
-            predict_fn, tta, _apply_affine(jnp.asarray(padded), affine),
-            jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
-            n_chunks, chunk, patch_size,
-        )
+        data = (jnp.asarray(padded), jnp.asarray(ys, jnp.int32),
+                jnp.asarray(xs, jnp.int32))
     else:
         tiles = slicer.split_batch(image)  # (T, p, p, C)
         if pad:
             tiles = np.concatenate(
                 [tiles, np.zeros((pad, *tiles.shape[1:]), tiles.dtype)]
             )
-        device_tiles = _apply_affine(jnp.asarray(tiles), affine)
+        device_tiles = jnp.asarray(tiles)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             device_tiles = jax.device_put(
                 device_tiles, NamedSharding(mesh, P(None))
             )
+        data = (device_tiles,)
+    return slicer, affine, data, n_tiles, n_chunks, chunk
+
+
+def _dispatch_tiled(prep, predict_fn, patch_size: int, tta: bool, mesh,
+                    slice_on_device: bool, threshold):
+    """Device half of predict_tiled: enqueue the compiled sweep + merge and
+    return the DEVICE mask without blocking (JAX dispatch is async — the
+    caller decides when to fetch)."""
+    slicer, affine, data, n_tiles, n_chunks, chunk = prep
+    if slice_on_device and mesh is None:
+        padded, ys, xs = data
+        preds = _run_tiles_gather(
+            predict_fn, tta, _apply_affine(padded, affine), ys, xs,
+            n_chunks, chunk, patch_size,
+        )
+    else:
+        device_tiles = _apply_affine(data[0], affine)
+        if mesh is not None:
             preds = _run_tiles_sharded(predict_fn, tta, device_tiles, n_chunks,
                                        chunk, mesh)
         else:
@@ -212,9 +218,98 @@ def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
     merged = slicer.merge_device(preds[:n_tiles])
     if threshold is not None:
         # threshold on device and fetch uint8 (4x less host transfer)
-        mask = jax.jit(lambda m: ((m > threshold) * 255).astype(jnp.uint8))(merged)
-        return np.asarray(mask)[..., 0]
-    return np.asarray(merged)[..., 0]
+        return jax.jit(
+            lambda m: ((m > threshold) * 255).astype(jnp.uint8))(merged)
+    return merged
+
+
+def predict_tiled(image: np.ndarray, predict_fn: Callable, test_transform=None,
+                  patch_size: int = 224, batch_size: int = 8,
+                  tta: bool = True, weight: str = "pyramid",
+                  mesh=None, slice_on_device: bool = True,
+                  threshold: float = None) -> np.ndarray:
+    """Sliding-window tiled prediction with weighted fusion + D4 TTA
+    (reference predict_tiled, inria_submit.py:237-257: step = patch/2,
+    pyramid weights).
+
+    Device-resident end to end: the (reflect-padded) image transfers ONCE,
+    tiles are gathered on-chip inside the compiled sweep (``lax.map`` over
+    fixed-size chunks: dynamic-slice -> TTA expand -> model -> TTA inverse),
+    the pyramid merge is a scatter-add, and only the fused mask returns — vs
+    the reference's per-batch CPU<->GPU round trips (inria_submit.py:248-253)
+    and vs shipping the (overlap-duplicated) tile batch.
+    ``slice_on_device=False`` falls back to host slicing (native tileio).
+    """
+    prep = _prep_tiled(image, test_transform, patch_size, batch_size, tta,
+                       weight, mesh, slice_on_device)
+    mask = _dispatch_tiled(prep, predict_fn, patch_size, tta, mesh,
+                           slice_on_device, threshold)
+    return np.asarray(mask)[..., 0]
+
+
+def predict_tiled_stream(items, predict_fn, test_transform=None,
+                         patch_size: int = 224, batch_size: int = 8,
+                         tta: bool = True, weight: str = "pyramid",
+                         mesh=None, slice_on_device: bool = True,
+                         threshold: float = None, depth: int = 1):
+    """Pipelined predict_tiled over many images: yields ``(key, mask)``.
+
+    ``items`` is an iterable of ``(key, load_fn)`` where ``load_fn() ->
+    HWC ndarray`` (read+decode). Three overlapped stages (vs the reference's
+    strictly serial per-image loop, inria_submit.py:296-306):
+
+      * a prefetch thread runs load + host prep (reflect pad / tile split)
+        + the async upload for image i+1,
+      * the main thread dispatches the compiled device sweep for image i
+        (non-blocking — JAX enqueues),
+      * up to ``depth`` device masks stay in flight; fetching mask i-1
+        blocks only until ITS sweep retires, so the device transfer and the
+        host-side decode of later images ride under the current sweep.
+
+    Masks yield in input order. ``depth=0`` degenerates to the serial path.
+    """
+    import queue as _queue
+    import threading
+
+    items = list(items)
+    if not items:
+        return
+
+    prepped = _queue.Queue(maxsize=max(1, depth + 1))
+    errors = []
+
+    def producer():
+        try:
+            for key, load_fn in items:
+                image = load_fn()
+                prep = _prep_tiled(image, test_transform, patch_size,
+                                   batch_size, tta, weight, mesh,
+                                   slice_on_device)
+                prepped.put((key, prep))
+        except BaseException as e:  # surfaced in the consumer
+            errors.append(e)
+            prepped.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    inflight = []
+    try:
+        for _ in range(len(items)):
+            got = prepped.get()
+            if got is None:
+                raise errors[0]
+            key, prep = got
+            mask = _dispatch_tiled(prep, predict_fn, patch_size, tta, mesh,
+                                   slice_on_device, threshold)
+            inflight.append((key, mask))
+            if len(inflight) > depth:
+                k, m = inflight.pop(0)
+                yield k, np.asarray(m)[..., 0]
+        for k, m in inflight:
+            yield k, np.asarray(m)[..., 0]
+    finally:
+        t.join(timeout=1.0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))

@@ -82,11 +82,10 @@ class BatchNormTorch(nn.Module):
             return (x - mean.astype(x.dtype)) * w.astype(x.dtype) + b.astype(x.dtype)
 
         # Training: custom-VJP BN (abn.bn_train) with the exact torch
-        # training backward and pluggable reduction strategy.
-        # SEGTPU_BN_AUTODIFF=1 switches to the plain autodiff formula (A/B
-        # lever; the custom VJP measured equal on the unet family).
-        import os
-        if os.environ.get("SEGTPU_BN_AUTODIFF") == "1":
+        # training backward. SEGTPU_BN_IMPL=autodiff switches to the plain
+        # autodiff formula (A/B lever; the custom VJP measured equal on the
+        # unet family) — see the abn module docstring for the full switch.
+        if abn_ops._bn_impl() == "autodiff":
             xf = x.astype(jnp.float32)
             mean_s, var_s = abn_ops.batch_mean_var(xf, self.axis_name)
             if parts is not None:

@@ -16,7 +16,7 @@ import numpy as np
 
 from segtpu.augment import host as aug
 from segtpu.data.inria import INRIA_MEAN, INRIA_STD
-from segtpu.inference import predict_full, predict_tiled
+from segtpu.inference import predict_full, predict_tiled_stream
 from segtpu.models import get_model
 from segtpu.train.checkpoint import restore_snapshot
 from segtpu.train.optim import get_optimizer
@@ -133,20 +133,36 @@ def main(argv=None):
         state = replicate(state, mesh)
 
     images = sorted(find_in_dir(os.path.join(args.data_dir, "images")))
-    for test_fname in tqdm(images, total=len(images)):
-        image = read_rgb(test_fname)
-        basename = os.path.splitext(os.path.basename(test_fname))[0]
-
-        if args.full:
+    if args.full:
+        for test_fname in tqdm(images, total=len(images)):
+            image = read_rgb(test_fname)
+            basename = os.path.splitext(os.path.basename(test_fname))[0]
             mask = predict_full(image, predict_fn, test_transform,
                                 tta=not args.no_tta)
             mask = ((mask > 0.5) * 255).astype(np.uint8)
-        else:
-            mask = predict_tiled(image, predict_fn, test_transform,
-                                 args.patch_size, args.batch_size,
-                                 tta=not args.no_tta, mesh=mesh,
-                                 threshold=0.5)
-        cv2.imwrite(os.path.join(experiment_dir, basename + ".tif"), mask)
+            cv2.imwrite(os.path.join(experiment_dir, basename + ".tif"), mask)
+        return
+
+    # Pipelined tiled path: read/decode/pad/upload of image i+1 and the tif
+    # write of image i-1 overlap the device sweep of image i (vs the
+    # reference's strictly serial loop, inria_submit.py:296-306).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def base(fname):
+        return os.path.splitext(os.path.basename(fname))[0]
+
+    items = [(base(f), (lambda f=f: read_rgb(f))) for f in images]
+    writes = []
+    with ThreadPoolExecutor(max_workers=2) as writer:
+        stream = predict_tiled_stream(
+            items, predict_fn, test_transform, args.patch_size,
+            args.batch_size, tta=not args.no_tta, mesh=mesh, threshold=0.5)
+        for basename, mask in tqdm(stream, total=len(images)):
+            writes.append(writer.submit(
+                cv2.imwrite,
+                os.path.join(experiment_dir, basename + ".tif"), mask))
+        for w in writes:
+            w.result()  # surface IO errors
 
 
 if __name__ == "__main__":

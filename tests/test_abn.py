@@ -173,11 +173,11 @@ def test_pallas_kernels_match_xla_path(xgb, activation):
         return jnp.sum(z * jnp.sin(z))
 
     try:
-        abn_ops.USE_PALLAS = True
+        abn_ops.BN_IMPL_OVERRIDE = "pallas"
         vp = loss(x, gamma, beta)
         gp = jax.grad(loss, argnums=(0, 1, 2))(x, gamma, beta)
     finally:
-        abn_ops.USE_PALLAS = None
+        abn_ops.BN_IMPL_OVERRIDE = None
     vx = loss(x, gamma, beta)
     gx = jax.grad(loss, argnums=(0, 1, 2))(x, gamma, beta)
     np.testing.assert_allclose(float(vp), float(vx), rtol=1e-4)
@@ -239,13 +239,21 @@ def test_bn_train_matches_autodiff(parts):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_bn_train_dot_path_matches_reduce_path():
-    """The MXU-contraction reductions (forced on) equal the XLA reduces."""
+@pytest.mark.parametrize("impl", ["dot_stats", "pallas_stats", "staged_stats"])
+def test_bn_train_alt_channel_sums_match_production(impl):
+    """Every alternate channel-sum impl (SEGTPU_BN_IMPL selectable, bodies in
+    segtpu.ops.bn_alt) equals the production XLA composite. Shape chosen so
+    all impls' gates accept: M = 4*128*128 = 65536 (power of two)."""
+    from segtpu.ops import bn_alt
+
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(4, 40, 40, 8).astype(np.float32))  # M >= 4096
+    x = jnp.asarray(rng.randn(4, 128, 128, 8).astype(np.float32))
     scale = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
     bias = jnp.asarray(rng.randn(8).astype(np.float32))
     g = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+
+    m = x.size // x.shape[-1]
+    assert bn_alt.channel_sums(impl, x.reshape(m, x.shape[-1])) is not None
 
     def run():
         y = abn_ops.bn_train(x, scale, bias, 1e-5, None, None)
@@ -255,14 +263,13 @@ def test_bn_train_dot_path_matches_reduce_path():
         )(x, scale, bias)
         return (y, *grads)
 
+    ref = run()
     try:
-        abn_ops.USE_DOT_STATS = False
-        ref = run()
-        abn_ops.USE_DOT_STATS = True
-        dot = run()
+        abn_ops.BN_IMPL_OVERRIDE = impl
+        alt = run()
     finally:
-        abn_ops.USE_DOT_STATS = None
-    for a, b_ in zip(ref, dot):
+        abn_ops.BN_IMPL_OVERRIDE = None
+    for a, b_ in zip(ref, alt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=2e-3)
 

@@ -50,6 +50,40 @@ def test_predict_tiled_d4_equivariance():
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_predict_tiled_stream_matches_per_image():
+    """The pipelined multi-image stream yields, in order, exactly the
+    per-image predict_tiled masks (different shapes + a threshold leg)."""
+    from segtpu.inference import predict_tiled_stream
+
+    rng = np.random.RandomState(7)
+    images = [rng.rand(100, 140, 3).astype(np.float32),
+              rng.rand(96, 96, 3).astype(np.float32),
+              rng.rand(64, 130, 3).astype(np.float32)]
+    items = [(f"im{i}", (lambda im=im: im)) for i, im in enumerate(images)]
+
+    for threshold in (None, 0.5):
+        got = list(predict_tiled_stream(
+            items, _identity_predict, patch_size=64, batch_size=8, tta=True,
+            threshold=threshold, depth=1))
+        assert [k for k, _ in got] == ["im0", "im1", "im2"]
+        for (k, mask), im in zip(got, images):
+            want = predict_tiled(im, _identity_predict, patch_size=64,
+                                 batch_size=8, tta=True, threshold=threshold)
+            np.testing.assert_array_equal(mask, want)
+
+
+def test_predict_tiled_stream_propagates_load_errors():
+    from segtpu.inference import predict_tiled_stream
+
+    def boom():
+        raise RuntimeError("decode failed")
+
+    items = [("ok", lambda: np.zeros((64, 64, 3), np.float32)),
+             ("bad", boom)]
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(predict_tiled_stream(items, _identity_predict, patch_size=64))
+
+
 @pytest.mark.slow
 def test_submit_cli_end_to_end(tmp_path):
     """Train 1 step -> checkpoint -> submit CLI writes thresholded .tif masks."""
