@@ -1,0 +1,62 @@
+"""Realistic-data accuracy A/B regression: torch reference vs segtpu.
+
+Small-scale version of tools/ab_nuclei.py (the full 48-image/10-epoch run
+behind results/ab_nuclei/): a deterministic multi-instance nuclei fixture is
+trained through BOTH the upstream torch reference (tools/ref_cpu_shim.py,
+CPU) and segtpu's train_cli (in-process, CPU) from identical initial weights
+on the same seed-1234 stratified patch split, and the per-epoch history CSVs
+(reference torch_train.py:419-431) must agree within a tolerance that only
+admits the stochastic part (augmentation/shuffle/dropout RNG streams, which
+cannot be shared across frameworks).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXP = "dsb2018_zf_unet_128_rgb_bce"
+CSV_REL = os.path.join("experiments", "dsb2018", "bce", EXP, EXP + ".csv")
+FLAGS = ["-m", "zf_unet", "-d", "dsb2018", "-p", "128", "-b", "8",
+         "-l", "bce", "-o", "sgd", "-lr", "1e-3", "-e", "2"]
+
+
+def test_ab_nuclei_torch_vs_segtpu(tmp_path):
+    from segtpu.data.nuclei_fixture import write_fixture
+    from segtpu.train_cli import main as segtpu_main
+
+    data_dir = str(tmp_path / "data" / "dsb2018")
+    write_fixture(data_dir, n_images=12, seed=20260819)
+
+    torch_dir = tmp_path / "torch"
+    torch_dir.mkdir()
+    init = str(tmp_path / "init.pth")
+    env = dict(os.environ, AB_SEED="20260819", AB_SAVE_INIT=init,
+               OMP_NUM_THREADS=str(os.cpu_count() or 4))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ref_cpu_shim.py"),
+         *FLAGS, "-dd", data_dir],
+        cwd=torch_dir, env=env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref = pd.read_csv(torch_dir / CSV_REL)
+
+    seg_dir = tmp_path / "segtpu"
+    segtpu_main([*FLAGS, "-dd", data_dir, "--init-torch", init,
+                 "--no-tensorboard", "--light-logging",
+                 "--experiments-dir", str(seg_dir / "experiments")])
+    seg = pd.read_csv(seg_dir / CSV_REL)
+
+    assert len(ref) == len(seg) == 2
+    # Identical init + identical split: epoch-wise curves agree up to the
+    # un-shareable RNG streams. Tolerances calibrated from the measured
+    # divergence of the full 48-image/10-epoch run (results/ab_nuclei/).
+    for col, tol in [("val_loss", 0.06), ("val_iou", 0.10),
+                     ("loss", 0.06), ("iou", 0.10)]:
+        d = np.max(np.abs(ref[col].to_numpy() - seg[col].to_numpy()))
+        assert d < tol, f"{col}: max |delta| {d:.4f} >= {tol} \n{ref}\n{seg}"
