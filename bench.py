@@ -133,23 +133,32 @@ def measure_cpu_baseline(batch_size: int = 4, patch: int = 512,
 def measure_tiled_inference(patch: int = 512, image_size: int = 5000,
                             batch_size: int = 64,
                             model_name: str = "linknet34",
-                            bf16: bool = True) -> float:
+                            bf16: bool = True, n_images: int = 4,
+                            depth: int = 2) -> float:
     """BASELINE.json config #5: INRIA-scale 5000^2 tiled inference
-    (ImageSlicer sliding window, pyramid-weighted blending, D4 TTA x8).
-    Returns seconds/image (warm).
+    (ImageSlicer sliding window, pyramid-weighted blending, D4 TTA x8),
+    measured as the submission path runs it: ``predict_tiled_stream``
+    pipelines host prep/upload of image i+1 and the mask fetch of i-1
+    under the device sweep of image i (vs the reference's strictly serial
+    loop, inria_submit.py:296-306). Returns seconds/image (warm, amortized
+    over ``n_images``).
 
     Tile batch 64 (chunk 8 with TTA): the sweep runs as ONE compiled
     lax.map, so a larger chunk means fewer serial loop iterations and
     fatter model batches. Measured (round 2e, interleaved repeats):
     b32 8.1-9.0 s, b48 8.1, b64 4.9-6.3, b96 4.6-7.1, b80/b128 outliers
-    13.0/12.5 — 64 is the stable knee, 96 within noise of it."""
+    13.0/12.5 — 64 is the stable knee, 96 within noise of it.
+
+    Round 3 (idle host, same conditions): serial per-image loop 6.5-7.9
+    s/image; stream depth=1 4.2; depth=2 3.5-4.8 — at the measured ~3.5 s
+    device floor (2888 model passes), so depth=2 is the default."""
     import dataclasses
 
     import numpy as np
 
     import jax.numpy as jnp
 
-    from segtpu.inference import predict_tiled
+    from segtpu.inference import predict_tiled, predict_tiled_stream
     from segtpu.models import get_model
     from segtpu.train.optim import get_optimizer
     from segtpu.train.state import create_train_state, make_predict_step
@@ -163,25 +172,28 @@ def measure_tiled_inference(patch: int = 512, image_size: int = 5000,
     predict_fn = lambda v: predict_step(state, v)
 
     rng = np.random.RandomState(0)
-    image = (rng.rand(image_size, image_size, 3) * 255).astype(np.uint8)
+    images = [(rng.rand(image_size, image_size, 3) * 255).astype(np.uint8)
+              for _ in range(n_images)]
 
-    # warm (compile + cache; twice — the first full pass still pays one-time
-    # dispatch/layout costs beyond compilation). threshold=0.5 matches the
-    # submission path (inria_submit writes binary masks): the mask is
-    # thresholded on device and fetched as uint8 — 4x less host transfer
-    # than raw fp32 probs.
-    predict_tiled(image, predict_fn, patch_size=patch,
+    # warm (compile + cache). threshold=0.5 matches the submission path
+    # (inria_submit writes binary masks): the mask is thresholded on device
+    # and fetched as uint8 — 4x less host transfer than raw fp32 probs.
+    predict_tiled(images[0], predict_fn, patch_size=patch,
                   batch_size=batch_size, tta=True, threshold=0.5)
     # min over repeats: per-pass wall time through the shared axon tunnel
     # varies up to 2x with external load, so the min is the honest
     # steady-state number (standard latency-benchmark practice)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
+        items = [(i, (lambda im=im: im)) for i, im in enumerate(images)]
         t0 = time.perf_counter()
-        mask = predict_tiled(image, predict_fn, patch_size=patch,
-                             batch_size=batch_size, tta=True, threshold=0.5)
-        best = min(best, time.perf_counter() - t0)
-        assert mask.shape == image.shape[:2]
+        n = 0
+        for _key, mask in predict_tiled_stream(
+                items, predict_fn, patch_size=patch, batch_size=batch_size,
+                tta=True, threshold=0.5, depth=depth):
+            assert mask.shape == (image_size, image_size)
+            n += 1
+        best = min(best, (time.perf_counter() - t0) / n)
     return best
 
 
