@@ -509,6 +509,89 @@ def _deconv_s2_polyphase(x, kernel, bias=None):
     return full
 
 
+def _deconv_full_cv(stride: int):
+    """Full (VALID) stride-``s`` transposed conv with a reverse-free backward.
+
+    Forward is bit-identical to flax ``nn.ConvTranspose(padding='VALID',
+    transpose_kernel=True)`` (same ``lax.conv_transpose`` lowering — one
+    fused emitter, measured optimal). The REVERSE-MODE rule is replaced:
+    JAX's builtin transpose of the lhs-dilated conv materializes a spatial
+    ``reverse`` of the full-resolution cotangent (e.g. bf16[16,225,225,32]
+    on linknet34-224 — ~0.6 ms/step of pure HBM traffic on a 4x lane-padded
+    tensor, the single largest non-conv op in the trace). The deconv is
+    exactly the adjoint of a stride-``s`` VALID conv C with the SAME kernel,
+    so both gradients are plain convs with no data movement:
+
+      dx = C(dy, W)                 (stride-s VALID conv, MXU-native)
+      dW = filter-grad of C at (dy -> x)   (standard conv filter-grad)
+
+    Value-checked against the autodiff gradients (dx bit-exact, dW equal up
+    to contraction order). Kernel layout [k, k, OUT, IN] (transpose_kernel).
+    """
+    s = (stride, stride)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def _adjoint(a, w):
+        return jax.lax.conv_general_dilated(a, w, s, "VALID", dimension_numbers=dn)
+
+    @jax.custom_vjp
+    def deconv(x, w):
+        return jax.lax.conv_transpose(
+            x, w, s, "VALID", dimension_numbers=dn, transpose_kernel=True)
+
+    def fwd(x, w):
+        return deconv(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dx = _adjoint(dy, w)
+        dw = jax.vjp(lambda ww: _adjoint(dy, ww), w)[1](x)[0]
+        return dx, dw
+
+    deconv.defvjp(fwd, bwd)
+    return deconv
+
+
+_DECONV_FULL_CV = {}
+
+
+def deconv_full(x, kernel, stride: int):
+    """VALID transposed conv (reverse-free backward), any stride."""
+    fn = _DECONV_FULL_CV.get(stride)
+    if fn is None:
+        fn = _DECONV_FULL_CV[stride] = _deconv_full_cv(stride)
+    return fn(x, kernel)
+
+
+class _ConvTransposeRF(nn.Module):
+    """Param-tree-compatible stand-in for ``nn.ConvTranspose(padding='VALID',
+    transpose_kernel=True)`` routing through :func:`deconv_full`. Instantiated
+    with ``name='ConvTranspose_0'`` so checkpoints/transplants are unchanged."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+    dtype: Optional[jnp.dtype]
+    kernel_init: object
+    bias_init: object
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, self.features, x.shape[-1]),
+            jnp.float32,
+        )
+        bias = (self.param("bias", self.bias_init, (self.features,), jnp.float32)
+                if self.use_bias else None)
+        dt = self.dtype or jnp.result_type(x, kernel)
+        y = deconv_full(x.astype(dt), kernel.astype(dt), self.stride)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 class ConvTranspose2dTorch(nn.Module):
     """torch nn.ConvTranspose2d(k, stride, padding, output_padding) in NHWC.
 
@@ -540,18 +623,19 @@ class ConvTranspose2dTorch(nn.Module):
         # polyphase path below LOSES end-to-end — 74.2 -> 97.0 ms/step,
         # traffic 47.4 -> 68.7 GB (four phase tensors + pad + interleave
         # materialize more than XLA's native conv_transpose lowering).
-        # nn.ConvTranspose stays the production path; _deconv_s2_polyphase
-        # is kept (value+grad-tested) as the documented alternative.
-        y = nn.ConvTranspose(
+        # The production path keeps that one-emitter FORWARD but swaps the
+        # backward for the reverse-free adjoint formulation (_ConvTransposeRF
+        # / deconv_full); _deconv_s2_polyphase is kept (value+grad-tested)
+        # as the documented alternative.
+        y = _ConvTransposeRF(
             features=self.features,
-            kernel_size=(k, k),
-            strides=(s, s),
-            padding="VALID",
+            kernel_size=k,
+            stride=s,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            transpose_kernel=True,
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_conv_bias_init(fan_in),
+            name="ConvTranspose_0",
         )(x)
         end = p - self.output_padding
         if p > 0 or end > 0:
