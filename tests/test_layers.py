@@ -175,3 +175,82 @@ def test_polyphase_deconv_matches_conv_transpose():
     assert set(v["params"].keys()) == {"ConvTranspose_0"}
     assert v["params"]["ConvTranspose_0"]["kernel"].shape == (2, 2, 4, 3)
     assert v["params"]["ConvTranspose_0"]["bias"].shape == (4,)
+
+
+@pytest.mark.parametrize("k,s", [(2, 2), (3, 2), (4, 2)])
+def test_deconv_full_grads_match_autodiff(k, s):
+    """The production reverse-free backward (`deconv_full`, the path every
+    ConvTranspose2dTorch call routes through) matches autodiff of the plain
+    ``lax.conv_transpose`` lowering — dx AND dW — for every (kernel, stride)
+    the zoo instantiates: (2,2) unet up, (3,2) linknet/linknext/tiramisu
+    final deconvs, (4,2) linknet/ternaus/linknext decoder deconvs."""
+    from segtpu.models.layers import deconv_full
+
+    rng = np.random.RandomState(k * 10 + s)
+    x = jnp.asarray(rng.randn(2, 5, 6, 3).astype(np.float32))
+    K = jnp.asarray(rng.randn(k, k, 4, 3).astype(np.float32))
+
+    def ref(xx, kk):
+        return jax.lax.conv_transpose(
+            xx, kk, (s, s), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
+
+    y_ref = ref(x, K)
+    y_got = deconv_full(x, K, s)
+    np.testing.assert_array_equal(np.asarray(y_got), np.asarray(y_ref))
+
+    g = jnp.asarray(rng.randn(*y_ref.shape).astype(np.float32))
+    dx_ref, dw_ref = jax.vjp(ref, x, K)[1](g)
+    dx_got, dw_got = jax.vjp(lambda xx, kk: deconv_full(xx, kk, s), x, K)[1](g)
+    np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_linknet34_train_step_grads_match_autodiff_deconv():
+    """End-to-end: linknet34 loss gradients with the production reverse-free
+    deconv backward equal the gradients with JAX's builtin transposed-conv
+    autodiff (same forward, only the VJP rule differs). Guards the change
+    that landed in round 3 (models/layers.py::_ConvTransposeRF)."""
+    from segtpu.models import get_model
+    from segtpu.models.layers import _DECONV_FULL_CV
+    from segtpu.ops.losses import get_loss
+
+    model = get_model("linknet34", patch_size=64, num_channels=3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    y = jnp.asarray((np.random.RandomState(1).rand(2, 64, 64, 1) > 0.5),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    loss_fn = get_loss("bce_jaccard")
+
+    def loss_of(params):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return loss_fn(logits, y)
+
+    g_custom = jax.grad(loss_of)(variables["params"])
+
+    # swap the cached custom-VJP closures for the plain autodiff lowering
+    saved = dict(_DECONV_FULL_CV)
+    try:
+        for s in saved:
+            _DECONV_FULL_CV[s] = lambda xx, kk, s=s: jax.lax.conv_transpose(
+                xx, kk, (s, s), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True)
+        g_auto = jax.grad(loss_of)(variables["params"])
+    finally:
+        _DECONV_FULL_CV.clear()
+        _DECONV_FULL_CV.update(saved)
+
+    flat_c = jax.tree_util.tree_leaves_with_path(g_custom)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(g_auto))
+    assert flat_c and len(flat_c) == len(flat_a)
+    for path, leaf in flat_c:
+        ref_leaf = flat_a[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref_leaf), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
