@@ -556,7 +556,20 @@ _DECONV_FULL_CV = {}
 
 
 def deconv_full(x, kernel, stride: int):
-    """VALID transposed conv (reverse-free backward), any stride."""
+    """VALID transposed conv (reverse-free backward), any stride.
+
+    ``SEGTPU_DECONV_BWD=autodiff`` routes through plain
+    ``lax.conv_transpose`` (JAX's builtin reverse rule, which materializes a
+    spatial ``reverse`` of the cotangent) — the A/B lever for the
+    reverse-free backward; measurements in BASELINE.md. Note the custom VJP
+    makes the default path reverse-mode only: ``jvp``/``linearize`` through
+    deconv models require the autodiff setting.
+    """
+    import os
+    if os.environ.get("SEGTPU_DECONV_BWD", "rf") == "autodiff":
+        return jax.lax.conv_transpose(
+            x, kernel, (stride, stride), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
     fn = _DECONV_FULL_CV.get(stride)
     if fn is None:
         fn = _DECONV_FULL_CV[stride] = _deconv_full_cv(stride)
@@ -602,9 +615,17 @@ class ConvTranspose2dTorch(nn.Module):
     the end of each spatial dim (zero-extended if negative — positions beyond
     the full extent receive no contributions, so zeros are exact).
 
-    stride=2 (every deconv in the zoo) uses the polyphase fast path
-    (:func:`_deconv_s2_polyphase`) — identical math and identical
-    parameter tree (scope/shape/init) to the nn.ConvTranspose lowering.
+    Production path: :class:`_ConvTransposeRF` / :func:`deconv_full` — XLA's
+    one-emitter ``conv_transpose`` forward (measured optimal) with the
+    reverse-free adjoint backward (both grads are plain convs; no spatial
+    ``reverse`` of the cotangent). Identical math and identical parameter
+    tree (scope/shape/init) to the nn.ConvTranspose lowering; grad-parity
+    tests in tests/test_layers.py (``test_deconv_full_grads_match_autodiff``,
+    ``test_linknet34_train_step_grads_match_autodiff_deconv``). The polyphase formulation
+    (:func:`_deconv_s2_polyphase`) is kept only as a documented-negative
+    alternative (BASELINE.md). Reverse-mode only by default — see
+    :func:`deconv_full` for the ``SEGTPU_DECONV_BWD=autodiff`` escape hatch
+    (restores jvp/forward-mode support).
     """
 
     features: int

@@ -103,6 +103,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Freeze the encoder subtree (zero gradients) - "
                              "the frozen-then-finetune workflow for "
                              "pretrained-encoder models")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="Seed every stochastic training stream (host "
+                             "augmentation RNG, loader shuffle, dropout/"
+                             "device-aug PRNG). Default keeps the historic "
+                             "fixed streams (shuffle seed 0, PRNGKey(42), "
+                             "unseeded host augs). Used by the multi-seed "
+                             "A/B harness (tools/ab_nuclei.py --seeds ...)")
     parser.add_argument("--init-torch", type=str, default=None,
                         help="Local torch .pth with a FULL reference-format "
                              "state_dict for this model (as saved by "
@@ -136,6 +143,15 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     args = parser.parse_args(argv)
     if args.dataset is None:
         parser.error("the following arguments are required: -d/--dataset")
+
+    if args.seed is not None:
+        # Host augmentations default to the module-level random.Random
+        # stream (segtpu/augment/host.py); numpy covers any np-based
+        # samplers. The jit-side streams (dropout, device augs) and the
+        # loader shuffle are seeded below where they are constructed.
+        import random as _py_random
+        _py_random.seed(args.seed)
+        np.random.seed(args.seed)
 
     from segtpu.parallel.distributed import maybe_initialize_distributed
     maybe_initialize_distributed()
@@ -343,7 +359,8 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     else:
         trainloader = DataLoader(trainset, batch_size=args.batch_size,
                                  shuffle=True, workers=workers,
-                                 drop_last=True)
+                                 drop_last=True,
+                                 seed=args.seed if args.seed is not None else 0)
         validloader = DataLoader(validset, batch_size=args.batch_size,
                                  shuffle=False, workers=workers,
                                  drop_last=True)
@@ -371,7 +388,7 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
                                  augment_fn=augment_fn)
     eval_step = make_eval_step(loss_fn, metrics, with_pr_curve=writer is not None,
                                transform_fn=eval_transform_fn)
-    rng = jax.random.PRNGKey(42)
+    rng = jax.random.PRNGKey(42 if args.seed is None else args.seed)
 
     metric_names = list(metrics)
 

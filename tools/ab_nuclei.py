@@ -61,81 +61,138 @@ def _common_flags(args, model, loss, opt, lr):
             "-o", opt, "-lr", lr, "-e", str(args.epochs)]
 
 
+def _init_path(args, model, run_seed):
+    return os.path.join(args.work, f"init_{model}_s{run_seed}.pth")
+
+
 def phase_init(args):
+    """Fixture + one torch init dump per (config, run seed).
+
+    Each A/B *pair* (torch seed S, segtpu seed S) shares the init that
+    torch's own seeded construction produces under AB_SEED=S — so the
+    torch seed-to-seed band spans init noise as well as the training RNG
+    streams, i.e. honest run-to-run variance of the reference itself.
+    """
     from segtpu.data.nuclei_fixture import write_fixture
     write_fixture(args.data_dir, n_images=args.images, seed=args.seed)
     print(f"fixture: {args.images} images at {args.data_dir}")
-    # build each torch model once (epochs=0: no training) to dump its init
-    for model, loss, opt, lr in CONFIGS:
-        init = os.path.join(args.work, f"init_{model}.pth")
-        env = dict(os.environ, AB_SEED=str(AB_SEED), AB_SAVE_INIT=init)
-        cmd = [sys.executable, os.path.join(REPO, "tools", "ref_cpu_shim.py")]
-        cmd += _common_flags(args, model, loss, opt, lr)[:-2] + ["-e", "0"]
-        subprocess.run(cmd, cwd=os.path.join(args.work, "torch"), env=env,
-                       check=True, capture_output=True)
-        print("init saved:", init)
+    for run_seed in args.run_seeds:
+        for model, loss, opt, lr in CONFIGS:
+            init = _init_path(args, model, run_seed)
+            if os.path.exists(init):
+                print("init exists:", init)
+                continue
+            env = dict(os.environ, AB_SEED=str(run_seed), AB_SAVE_INIT=init)
+            cmd = [sys.executable,
+                   os.path.join(REPO, "tools", "ref_cpu_shim.py")]
+            cmd += _common_flags(args, model, loss, opt, lr)[:-2] + ["-e", "0"]
+            subprocess.run(cmd, cwd=os.path.join(args.work, "torch"), env=env,
+                           check=True, capture_output=True)
+            print("init saved:", init)
 
 
 def phase_segtpu(args):
-    for model, loss, opt, lr in CONFIGS:
-        init = os.path.join(args.work, f"init_{model}.pth")
-        cmd = [sys.executable, os.path.join(REPO, "train.py")]
-        cmd += _common_flags(args, model, loss, opt, lr)
-        cmd += ["--init-torch", init, "--no-tensorboard", "--light-logging"]
-        print("segtpu:", " ".join(cmd), flush=True)
-        subprocess.run(cmd, cwd=os.path.join(args.work, "segtpu"), check=True)
+    for run_seed in args.run_seeds:
+        for model, loss, opt, lr in CONFIGS:
+            cwd = os.path.join(args.work, f"segtpu_s{run_seed}")
+            os.makedirs(cwd, exist_ok=True)
+            if os.path.exists(_csv_path(cwd, model, loss, args.patch)):
+                print(f"segtpu s{run_seed} {model}: csv exists, skipping")
+                continue
+            cmd = [sys.executable, os.path.join(REPO, "train.py")]
+            cmd += _common_flags(args, model, loss, opt, lr)
+            cmd += ["--init-torch", _init_path(args, model, run_seed),
+                    "--seed", str(run_seed),
+                    "--no-tensorboard", "--light-logging"]
+            print("segtpu:", " ".join(cmd), flush=True)
+            subprocess.run(cmd, cwd=cwd, check=True)
 
 
 def phase_torch(args):
-    for model, loss, opt, lr in CONFIGS:
-        env = dict(os.environ, AB_SEED=str(AB_SEED))
-        cmd = [sys.executable, os.path.join(REPO, "tools", "ref_cpu_shim.py")]
-        cmd += _common_flags(args, model, loss, opt, lr)
-        print("torch ref:", " ".join(cmd), flush=True)
-        subprocess.run(cmd, cwd=os.path.join(args.work, "torch"), env=env,
-                       check=True)
+    for run_seed in args.run_seeds:
+        for model, loss, opt, lr in CONFIGS:
+            cwd = os.path.join(args.work, f"torch_s{run_seed}")
+            os.makedirs(cwd, exist_ok=True)
+            if os.path.exists(_csv_path(cwd, model, loss, args.patch)):
+                print(f"torch s{run_seed} {model}: csv exists, skipping")
+                continue
+            env = dict(os.environ, AB_SEED=str(run_seed))
+            cmd = [sys.executable,
+                   os.path.join(REPO, "tools", "ref_cpu_shim.py")]
+            cmd += _common_flags(args, model, loss, opt, lr)
+            print(f"torch ref (seed {run_seed}):", " ".join(cmd), flush=True)
+            subprocess.run(cmd, cwd=cwd, env=env, check=True)
 
 
 def phase_report(args):
     import pandas as pd
 
     os.makedirs(args.out, exist_ok=True)
+    seeds = args.run_seeds
     lines = [
         "# Nuclei-fixture A/B: torch reference (CPU) vs segtpu (TPU)",
         "",
         f"Fixture: {args.images} images (seed {args.seed}), patch "
-        f"{args.patch}, batch {args.batch}, {args.epochs} epochs, identical "
-        f"initial weights, seed-1234 stratified patch split shared via the "
-        f"on-disk dataset. Regenerate: `python tools/ab_nuclei.py "
-        f"--phase all`.",
+        f"{args.patch}, batch {args.batch}, {args.epochs} epochs, run seeds "
+        f"{seeds}. Each pair (torch seed S, segtpu seed S) starts from the "
+        f"identical initial weights torch constructs under AB_SEED=S, on the "
+        f"seed-1234 stratified patch split shared via the on-disk dataset. "
+        f"The torch seed-to-seed band is the reference's own run-to-run "
+        f"variance (init + augmentation/shuffle/dropout RNG); parity holds "
+        f"if segtpu's curves sit inside (or above) it. Regenerate: `python "
+        f"tools/ab_nuclei.py --phase all --seeds "
+        + ",".join(str(s) for s in seeds) + "`.",
         "",
     ]
     worst = {}
     for model, loss, opt, lr in CONFIGS:
-        ref_csv = _csv_path(os.path.join(args.work, "torch"), model, loss, args.patch)
-        seg_csv = _csv_path(os.path.join(args.work, "segtpu"), model, loss, args.patch)
-        ref = pd.read_csv(ref_csv)
-        seg = pd.read_csv(seg_csv)
-        shutil.copy(ref_csv, os.path.join(args.out, f"torch_{model}.csv"))
-        shutil.copy(seg_csv, os.path.join(args.out, f"segtpu_{model}.csv"))
-        n = min(len(ref), len(seg))
+        ref, seg = {}, {}
+        for s in seeds:
+            ref_csv = _csv_path(os.path.join(args.work, f"torch_s{s}"),
+                                model, loss, args.patch)
+            seg_csv = _csv_path(os.path.join(args.work, f"segtpu_s{s}"),
+                                model, loss, args.patch)
+            ref[s] = pd.read_csv(ref_csv)
+            seg[s] = pd.read_csv(seg_csv)
+            shutil.copy(ref_csv, os.path.join(args.out,
+                                              f"torch_{model}_s{s}.csv"))
+            shutil.copy(seg_csv, os.path.join(args.out,
+                                              f"segtpu_{model}_s{s}.csv"))
+        n = min(min(len(d) for d in ref.values()),
+                min(len(d) for d in seg.values()))
         lines += [f"## {model} ({loss} + {opt}, lr {lr})", "",
-                  "| epoch | val_iou torch | val_iou segtpu | diff | "
-                  "val_loss torch | val_loss segtpu |",
-                  "|---|---|---|---|---|---|"]
-        diffs = []
+                  "| epoch | torch band (min..max) | segtpu band (min..max) "
+                  "| segtpu in/above torch band |",
+                  "|---|---|---|---|"]
+        inside_tail = []
         for i in range(n):
-            d = seg.val_iou[i] - ref.val_iou[i]
-            diffs.append(abs(d))
-            lines.append(
-                f"| {i} | {ref.val_iou[i]:.4f} | {seg.val_iou[i]:.4f} | "
-                f"{d:+.4f} | {ref.val_loss[i]:.4f} | {seg.val_loss[i]:.4f} |")
-        tail = max(diffs[n // 2:]) if n > 1 else diffs[0]
-        final = seg.val_iou[n - 1] - ref.val_iou[n - 1]
-        worst[model] = (tail, final)
-        lines += ["",
-                  f"max |Δval_iou| second half: **{tail:.4f}**; "
-                  f"final-epoch Δ: **{final:+.4f}**", ""]
+            rlo = min(ref[s].val_iou[i] for s in seeds)
+            rhi = max(ref[s].val_iou[i] for s in seeds)
+            slo = min(seg[s].val_iou[i] for s in seeds)
+            shi = max(seg[s].val_iou[i] for s in seeds)
+            ok = slo >= rlo  # parity or better: no segtpu run below torch's
+            if i >= n // 2:
+                inside_tail.append(ok)
+            lines.append(f"| {i} | {rlo:.4f} .. {rhi:.4f} | "
+                         f"{slo:.4f} .. {shi:.4f} | {'yes' if ok else 'NO'} |")
+        rfin = [ref[s].val_iou[n - 1] for s in seeds]
+        sfin = [seg[s].val_iou[n - 1] for s in seeds]
+        band = max(rfin) - min(rfin)
+        delta = (sum(sfin) / len(sfin)) - (sum(rfin) / len(rfin))
+        worst[model] = (band, delta, all(inside_tail))
+        lines += [
+            "",
+            f"Final epoch: torch {min(rfin):.4f}..{max(rfin):.4f} "
+            f"(seed band {band:.4f}), segtpu {min(sfin):.4f}..{max(sfin):.4f};"
+            f" mean Δ(segtpu−torch) = **{delta:+.4f}**; segtpu ≥ torch-band "
+            f"floor over the 2nd half of training: "
+            f"**{'yes' if all(inside_tail) else 'NO'}**",
+            "",
+            "Per-seed final val_iou: "
+            + "; ".join(f"s{s}: torch {ref[s].val_iou[n-1]:.4f} / segtpu "
+                        f"{seg[s].val_iou[n-1]:.4f}" for s in seeds),
+            "",
+        ]
     report = os.path.join(args.out, "comparison.md")
     with open(report, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -154,12 +211,16 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--patch", type=int, default=128)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--seed", type=int, default=20260819)
+    p.add_argument("--seed", type=int, default=20260819,
+                   help="fixture generation seed (the dataset itself)")
+    p.add_argument("--seeds", default=str(AB_SEED),
+                   help="comma-separated RUN seeds; one torch + one segtpu "
+                        "leg per seed (the variance-band study)")
     args = p.parse_args(argv)
     args.data_dir = os.path.join(args.work, "data", "dsb2018")
+    args.run_seeds = [int(s) for s in args.seeds.split(",") if s]
 
-    for sub in ("torch", "segtpu"):
-        os.makedirs(os.path.join(args.work, sub), exist_ok=True)
+    os.makedirs(os.path.join(args.work, "torch"), exist_ok=True)
 
     phases = ([args.phase] if args.phase != "all"
               else ["init", "segtpu", "torch", "report"])

@@ -125,6 +125,7 @@ SWEEP = [
     ("zf_unet", 224, 32, False),
     ("zf_unet", 224, 32, True),
     ("linknet34", 224, 32, False),
+    ("albunet", 224, 32, False),
     ("unet11", 224, 32, False),
     ("unet11", 224, 32, True),
     ("unet16", 224, 32, False),
