@@ -209,6 +209,11 @@ BENCH_CONFIGS = {
     "unet11-finetune-512": dict(
         kind="train", model_name="unet11", patch=512, batch_size=16,
         loss_name="bce", optimizer="adam", freeze_encoder=True, s2d=True),
+    # AlbuNet shares config #3's frozen-then-finetune workload shape
+    # (resnet34 encoder variant of the TernausNet family)
+    "albunet-finetune-512": dict(
+        kind="train", model_name="albunet", patch=512, batch_size=16,
+        loss_name="bce", optimizer="adam", freeze_encoder=True),
     "tiramisu67-512-b4": dict(kind="train", model_name="tiramisu67",
                               patch=512, batch_size=4, steps=10,
                               loss_name="bce", optimizer="sgd"),

@@ -23,6 +23,22 @@ from segtpu.models import register
 from segtpu.models.encoders.resnet import resnet34
 from segtpu.models.layers import Conv, max_pool
 from segtpu.models.ternaus import ConvRelu, DecoderBlock
+from segtpu.models.unet import _pad_to_match
+
+
+def _cat_skip(up, skip):
+    """Concat an upsampled decoder tensor with its encoder skip, padding the
+    smaller one spatially (UNet pad-and-concat, reference unet.py:60-64).
+
+    The public torch AlbuNet requires input %64 == 0 (pool floor + exact-2x
+    deconv make 7 -> 3 -> 6 != 7 at 224 and torch's cat raises just like
+    jnp.concatenate); this grace-pad is a no-op at valid sizes and makes
+    the odd-scale chain well-defined at any patch."""
+    if up.shape[1] < skip.shape[1] or up.shape[2] < skip.shape[2]:
+        up = _pad_to_match(up, skip)
+    elif skip.shape[1] < up.shape[1] or skip.shape[2] < up.shape[2]:
+        skip = _pad_to_match(skip, up)
+    return jnp.concatenate([up, skip], -1)
 
 
 class AlbuNet(nn.Module):
@@ -47,13 +63,13 @@ class AlbuNet(nn.Module):
         center = DecoderBlock(nf * 8 * 2, nf * 8, self.dtype, name="center")(
             max_pool(e4))
         dec5 = DecoderBlock(nf * 8 * 2, nf * 8, self.dtype, name="dec5")(
-            jnp.concatenate([center, e4], -1))
+            _cat_skip(center, e4))
         dec4 = DecoderBlock(nf * 8 * 2, nf * 8, self.dtype, name="dec4")(
-            jnp.concatenate([dec5, e3], -1))
+            _cat_skip(dec5, e3))
         dec3 = DecoderBlock(nf * 4 * 2, nf * 2, self.dtype, name="dec3")(
-            jnp.concatenate([dec4, e2], -1))
+            _cat_skip(dec4, e2))
         dec2 = DecoderBlock(nf * 2 * 2, nf * 2 * 2, self.dtype, name="dec2")(
-            jnp.concatenate([dec3, e1], -1))
+            _cat_skip(dec3, e1))
         dec1 = DecoderBlock(nf * 2 * 2, nf, self.dtype, name="dec1")(dec2)
         dec0 = ConvRelu(nf, self.dtype, name="dec0")(dec1)
         out = Conv(self.num_classes, 1, padding=0, dtype=self.dtype,
