@@ -29,7 +29,6 @@ FLAGS = ["-m", "zf_unet", "-d", "dsb2018", "-p", "128", "-b", "8",
 
 def test_ab_nuclei_torch_vs_segtpu(tmp_path):
     from segtpu.data.nuclei_fixture import write_fixture
-    from segtpu.train_cli import main as segtpu_main
 
     data_dir = str(tmp_path / "data" / "dsb2018")
     write_fixture(data_dir, n_images=12, seed=20260819)
@@ -46,10 +45,27 @@ def test_ab_nuclei_torch_vs_segtpu(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     ref = pd.read_csv(torch_dir / CSV_REL)
 
+    # The segtpu leg runs in a subprocess pinned to ONE CPU device: under
+    # the suite's 8-virtual-device mesh an oversubscribed 1-core host can
+    # miss XLA:CPU's 40 s all-reduce rendezvous termination timeout, which
+    # SIGABRTs the whole pytest process (rendezvous.cc "Exiting to ensure a
+    # consistent program state"). The dp-8 collective path has its own
+    # equality tests (tests/test_multichip.py); this test is about accuracy
+    # parity. config.update is required because the axon sitecustomize pins
+    # jax_platforms at interpreter start (env JAX_PLATFORMS alone loses).
     seg_dir = tmp_path / "segtpu"
-    segtpu_main([*FLAGS, "-dd", data_dir, "--init-torch", init,
-                 "--no-tensorboard", "--light-logging",
-                 "--experiments-dir", str(seg_dir / "experiments")])
+    seg_args = [*FLAGS, "-dd", data_dir, "--init-torch", init,
+                "--no-tensorboard", "--light-logging",
+                "--experiments-dir", str(seg_dir / "experiments")]
+    seg_env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+         "from segtpu.train_cli import main; main(sys.argv[1:])",
+         *seg_args],
+        cwd=REPO, env=seg_env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-2000:]
     seg = pd.read_csv(seg_dir / CSV_REL)
 
     assert len(ref) == len(seg) == 2
