@@ -41,12 +41,13 @@ def test_measure_tpu_smoke_on_cpu():
 
 
 def test_bench_configs_cover_baseline():
-    """--all reproduces every BASELINE.json config (VERDICT r1 item 6)."""
-    assert len(bench.BENCH_CONFIGS) == 5
+    """--all reproduces every BASELINE.json config (VERDICT r1 item 6),
+    plus the albunet config-#3 companion (round 4)."""
+    assert len(bench.BENCH_CONFIGS) == 6
     kinds = [c["kind"] for c in bench.BENCH_CONFIGS.values()]
     assert kinds.count("tiled") == 1
     models = {c.get("model_name") for c in bench.BENCH_CONFIGS.values()}
-    assert {"zf_unet", "linknet34", "unet11", "tiramisu67"} <= models
+    assert {"zf_unet", "linknet34", "unet11", "albunet", "tiramisu67"} <= models
 
 
 @pytest.mark.slow
