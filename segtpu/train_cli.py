@@ -108,8 +108,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "augmentation RNG, loader shuffle, dropout/"
                              "device-aug PRNG). Default keeps the historic "
                              "fixed streams (shuffle seed 0, PRNGKey(42), "
-                             "unseeded host augs). Used by the multi-seed "
-                             "A/B harness (tools/ab_nuclei.py --seeds ...)")
+                             "unseeded host augs). Forces a single loader "
+                             "worker so the host-aug RNG draw order is "
+                             "replayable (bit-identical reruns). Used by the "
+                             "multi-seed A/B harness (tools/ab_nuclei.py)")
     parser.add_argument("--init-torch", type=str, default=None,
                         help="Local torch .pth with a FULL reference-format "
                              "state_dict for this model (as saved by "
@@ -351,6 +353,13 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     print("Devices       ", jax.device_count(), jax.default_backend())
 
     workers = args.workers if args.workers > 0 else 4
+    if args.seed is not None:
+        # Reproducibility contract: the host-aug transforms draw from the
+        # seeded global `random` stream inside loader threads, so with >1
+        # prefetch thread the DRAW ORDER is a thread race and two same-seed
+        # runs diverge. One worker executes submissions FIFO -> bit-identical
+        # replay (tests/test_cli_e2e.py::test_train_cli_seed_determinism).
+        workers = 1
     if isinstance(trainset, DeviceShapesSet):
         # shapes-device: batches are generated under jit on the
         # accelerator — the thread-pool host loader would only add hops

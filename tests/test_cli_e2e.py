@@ -218,3 +218,28 @@ def test_train_cli_shapes_device(tmp_path):
     args[args.index("-e") + 1] = "2"
     history = main(args)
     assert history["epoch"] == [0, 1]
+
+
+def test_train_cli_seed_determinism(tmp_path):
+    """--seed S makes two full runs bit-identical (host-aug RNG, loader
+    shuffle, jit PRNG all reseeded at main() start) — the property the
+    multi-seed A/B harness (tools/ab_nuclei.py --seeds) relies on. Uses the
+    nuclei fixture so the host augmentation stream is actually exercised."""
+    from segtpu.data.nuclei_fixture import write_fixture
+    from segtpu.train_cli import main
+
+    data_dir = str(tmp_path / "data" / "dsb2018")
+    write_fixture(data_dir, n_images=12, seed=20260819)
+
+    histories = []
+    for run in ("a", "b"):
+        args = _common(tmp_path, ["-m", "unet", "--seed", "7",
+                                  "-dd", data_dir])
+        args[args.index("-d") + 1] = "dsb2018"
+        args[args.index("-s") + 1] = "4"
+        args[args.index("--experiments-dir") + 1] = str(
+            tmp_path / f"exp_{run}")
+        histories.append(main(args))
+    ha, hb = histories
+    for col in ("loss", "val_loss", "iou", "val_iou"):
+        assert ha[col] == hb[col], (col, ha[col], hb[col])
