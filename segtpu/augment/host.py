@@ -7,17 +7,85 @@ threaded DataLoader; the batched device pipeline lives in
 segtpu/augment/device.py.
 
 Each transform accepts an optional ``rng`` (random.Random) for reproducible
-pipelines; defaults to the module-global ``random``.
+pipelines; defaults to :data:`DEFAULT_RNG` — a proxy that draws from the
+thread-local per-sample stream when one is bound (see
+:func:`bind_sample_rng`) and falls back to the module-global ``random``
+otherwise (the historic behavior, and what the seeded bit-parity tests
+against the upstream transforms rely on).
+
+Per-sample streams are the reproducibility contract for seeded training:
+the loader binds ``Random(h(seed, epoch, dataset_index))`` around each
+``__getitem__``, so a sample's augmentation draw depends only on *what* is
+being augmented *when* — never on which prefetch thread got there first or
+how many workers the loader runs. Two same-seed runs are bit-identical at
+ANY worker count (the round-4 interim fix serialized the loader instead;
+this is the stateless design the device pipeline already uses with
+``fold_in`` — segtpu/augment/device.py).
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 import numbers
 import random as _random
+import threading
 
 import cv2
 import numpy as np
+
+_sample_ctx = threading.local()
+
+
+def derive_sample_rng(seed: int, epoch: int, index: int) -> _random.Random:
+    """Stateless per-sample stream: Random keyed on (seed, epoch, index).
+
+    blake2b rather than ``hash()``: builtin str hashing is salted per
+    process (PYTHONHASHSEED), which would silently break cross-process
+    replay; the digest is stable everywhere."""
+    digest = hashlib.blake2b(
+        f"{seed}/{epoch}/{index}".encode(), digest_size=8
+    ).digest()
+    return _random.Random(int.from_bytes(digest, "little"))
+
+
+class bind_sample_rng:
+    """Context manager binding the thread-local per-sample stream that
+    :data:`DEFAULT_RNG` (every transform's default) draws from."""
+
+    def __init__(self, seed: int, epoch: int, index: int):
+        self.rng = derive_sample_rng(seed, epoch, index)
+
+    def __enter__(self):
+        _sample_ctx.rng = self.rng
+        return self.rng
+
+    def __exit__(self, *exc):
+        _sample_ctx.rng = None
+        return False
+
+
+class _DefaultRNG:
+    """random.Random facade: the bound per-sample stream, else global random."""
+
+    @staticmethod
+    def _impl():
+        return getattr(_sample_ctx, "rng", None) or _random
+
+    def random(self):
+        return self._impl().random()
+
+    def uniform(self, a, b):
+        return self._impl().uniform(a, b)
+
+    def randint(self, a, b):
+        return self._impl().randint(a, b)
+
+    def choice(self, seq):
+        return self._impl().choice(seq)
+
+
+DEFAULT_RNG = _DefaultRNG()
 
 
 class Sequential:
@@ -39,7 +107,7 @@ class OneOf:
     def __init__(self, transforms, prob=0.5, rng=None):
         self.transforms = transforms
         self.prob = prob
-        self.rng = rng or _random
+        self.rng = rng or DEFAULT_RNG
 
     def __call__(self, x, mask=None):
         if self.rng.random() < self.prob:
@@ -58,7 +126,7 @@ class OneOrOther:
         self.second = second
         second.prob = 1.0
         self.prob = prob
-        self.rng = rng or _random
+        self.rng = rng or DEFAULT_RNG
 
     def __call__(self, x, mask=None):
         if self.rng.random() < self.prob:
@@ -92,7 +160,7 @@ class MakeBinary:
 class _Gated:
     def __init__(self, prob=0.5, rng=None):
         self.prob = prob
-        self.rng = rng or _random
+        self.rng = rng or DEFAULT_RNG
 
     def _fire(self):
         return self.rng.random() < self.prob
@@ -276,7 +344,7 @@ class RandomCrop:
         else:
             self.size = size
         self.padding = padding
-        self.rng = rng or _random
+        self.rng = rng or DEFAULT_RNG
 
     def __call__(self, x, mask=None):
         if self.padding > 0:

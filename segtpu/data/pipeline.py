@@ -24,6 +24,13 @@ class DataLoader:
     Matches the reference loader semantics: ``shuffle`` train / ordered val,
     ``drop_last=True`` (torch_train.py:384-385). ``workers`` threads prefetch
     samples ahead of the consumer.
+
+    ``sample_seed`` (seeded training): bind a stateless per-sample RNG
+    around each ``__getitem__`` — ``Random(h(sample_seed, epoch, index))``,
+    segtpu.augment.host.bind_sample_rng — so host-augmentation draws depend
+    only on (seed, epoch, dataset index), never on prefetch thread timing or
+    worker count. Two same-seed runs are bit-identical at ANY ``workers``
+    (tests/test_cli_e2e.py::test_train_cli_seed_determinism).
     """
 
     def __init__(
@@ -37,6 +44,7 @@ class DataLoader:
         prefetch_batches: int = 4,
         process_index: int = None,
         process_count: int = None,
+        sample_seed: int = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +53,7 @@ class DataLoader:
         self.workers = max(1, workers)
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.sample_seed = sample_seed
         self.epoch = 0
         # Multi-host: every process iterates the SAME seeded global index
         # order but materializes only its contiguous slice of each global
@@ -79,8 +88,16 @@ class DataLoader:
             return rng.permutation(n)
         return np.arange(n)
 
+    def _fetch(self, epoch: int, i: int):
+        if self.sample_seed is None:
+            return self.dataset[i]
+        from segtpu.augment.host import bind_sample_rng
+        with bind_sample_rng(self.sample_seed, epoch, i):
+            return self.dataset[i]
+
     def __iter__(self) -> Iterator:
         order = self._index_order()
+        epoch = self.epoch
         n_batches = len(self)
         ex = cf.ThreadPoolExecutor(max_workers=self.workers)
         try:
@@ -89,7 +106,7 @@ class DataLoader:
             def submit(b):
                 start = b * self.batch_size + self.process_index * self.local_batch_size
                 idxs = order[start:start + self.local_batch_size]
-                futs = [ex.submit(self.dataset.__getitem__, int(i)) for i in idxs]
+                futs = [ex.submit(self._fetch, epoch, int(i)) for i in idxs]
                 pending.append(futs)
 
             warm = min(self.prefetch_batches, n_batches)

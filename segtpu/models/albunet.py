@@ -23,7 +23,6 @@ from segtpu.models import register
 from segtpu.models.encoders.resnet import resnet34
 from segtpu.models.layers import Conv, max_pool
 from segtpu.models.ternaus import ConvRelu, DecoderBlock
-from segtpu.models.unet import _pad_to_match
 
 
 def _cat_skip(up, skip):
@@ -33,12 +32,21 @@ def _cat_skip(up, skip):
     The public torch AlbuNet requires input %64 == 0 (pool floor + exact-2x
     deconv make 7 -> 3 -> 6 != 7 at 224 and torch's cat raises just like
     jnp.concatenate); this grace-pad is a no-op at valid sizes and makes
-    the odd-scale chain well-defined at any patch."""
-    if up.shape[1] < skip.shape[1] or up.shape[2] < skip.shape[2]:
-        up = _pad_to_match(up, skip)
-    elif skip.shape[1] < up.shape[1] or skip.shape[2] < up.shape[2]:
-        skip = _pad_to_match(skip, up)
-    return jnp.concatenate([up, skip], -1)
+    the odd-scale chain well-defined at any patch. Each spatial dim pads
+    independently: a non-square input can leave ``up`` smaller in H but
+    larger in W (odd-size parity mismatch), so both tensors pad up to the
+    per-dim max rather than assuming one is uniformly smaller."""
+    th = max(up.shape[1], skip.shape[1])
+    tw = max(up.shape[2], skip.shape[2])
+
+    def pad_to(t):
+        dh, dw = th - t.shape[1], tw - t.shape[2]
+        if dh == 0 and dw == 0:
+            return t
+        return jnp.pad(t, ((0, 0), (dh // 2, dh - dh // 2),
+                           (dw // 2, dw - dw // 2), (0, 0)))
+
+    return jnp.concatenate([pad_to(up), pad_to(skip)], -1)
 
 
 class AlbuNet(nn.Module):

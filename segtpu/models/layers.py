@@ -554,19 +554,29 @@ def _deconv_full_cv(stride: int):
 
 _DECONV_FULL_CV = {}
 
+# Process-start-only switch: captured ONCE at import. Reading the env var at
+# trace time looked flexible but was a trap — jit caches are not keyed on it,
+# so flipping it after a train step compiled silently kept the old backward
+# and an in-process A/B could measure the same path twice. Set it before the
+# first segtpu import (the bench/roofline tools run each leg in its own
+# subprocess, which is also what makes the measurement conditions honest).
+import os as _os
+
+DECONV_BWD = _os.environ.get("SEGTPU_DECONV_BWD", "rf")
+
 
 def deconv_full(x, kernel, stride: int):
     """VALID transposed conv (reverse-free backward), any stride.
 
-    ``SEGTPU_DECONV_BWD=autodiff`` routes through plain
-    ``lax.conv_transpose`` (JAX's builtin reverse rule, which materializes a
-    spatial ``reverse`` of the cotangent) — the A/B lever for the
-    reverse-free backward; measurements in BASELINE.md. Note the custom VJP
-    makes the default path reverse-mode only: ``jvp``/``linearize`` through
-    deconv models require the autodiff setting.
+    ``SEGTPU_DECONV_BWD=autodiff`` (read once at import — see ``DECONV_BWD``
+    above) routes through plain ``lax.conv_transpose`` (JAX's builtin
+    reverse rule, which materializes a spatial ``reverse`` of the cotangent)
+    — the A/B lever for the reverse-free backward; measurements in
+    BASELINE.md. Note the custom VJP makes the default path reverse-mode
+    only: ``jvp``/``linearize`` through deconv models require the autodiff
+    setting.
     """
-    import os
-    if os.environ.get("SEGTPU_DECONV_BWD", "rf") == "autodiff":
+    if DECONV_BWD == "autodiff":
         return jax.lax.conv_transpose(
             x, kernel, (stride, stride), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)

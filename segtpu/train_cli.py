@@ -108,10 +108,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "augmentation RNG, loader shuffle, dropout/"
                              "device-aug PRNG). Default keeps the historic "
                              "fixed streams (shuffle seed 0, PRNGKey(42), "
-                             "unseeded host augs). Forces a single loader "
-                             "worker so the host-aug RNG draw order is "
-                             "replayable (bit-identical reruns). Used by the "
-                             "multi-seed A/B harness (tools/ab_nuclei.py)")
+                             "unseeded host augs). Host augs draw from a "
+                             "stateless per-sample stream keyed on (seed, "
+                             "epoch, index), so reruns are bit-identical at "
+                             "any worker count. Used by the multi-seed A/B "
+                             "harness (tools/ab_nuclei.py)")
     parser.add_argument("--init-torch", type=str, default=None,
                         help="Local torch .pth with a FULL reference-format "
                              "state_dict for this model (as saved by "
@@ -147,10 +148,12 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
         parser.error("the following arguments are required: -d/--dataset")
 
     if args.seed is not None:
-        # Host augmentations default to the module-level random.Random
-        # stream (segtpu/augment/host.py); numpy covers any np-based
-        # samplers. The jit-side streams (dropout, device augs) and the
-        # loader shuffle are seeded below where they are constructed.
+        # Host augmentations in seeded runs draw from stateless per-sample
+        # streams bound by the DataLoader (augment.host.bind_sample_rng);
+        # seeding the global streams here covers any remaining np/random
+        # consumers outside the loader. The jit-side streams (dropout,
+        # device augs) and the loader shuffle are seeded below where they
+        # are constructed.
         import random as _py_random
         _py_random.seed(args.seed)
         np.random.seed(args.seed)
@@ -353,23 +356,23 @@ def main(argv=None, *, param_penalty=None, model_builder=None,
     print("Devices       ", jax.device_count(), jax.default_backend())
 
     workers = args.workers if args.workers > 0 else 4
-    if args.seed is not None:
-        # Reproducibility contract: the host-aug transforms draw from the
-        # seeded global `random` stream inside loader threads, so with >1
-        # prefetch thread the DRAW ORDER is a thread race and two same-seed
-        # runs diverge. One worker executes submissions FIFO -> bit-identical
-        # replay (tests/test_cli_e2e.py::test_train_cli_seed_determinism).
-        workers = 1
     if isinstance(trainset, DeviceShapesSet):
         # shapes-device: batches are generated under jit on the
         # accelerator — the thread-pool host loader would only add hops
         trainloader = trainset.loader(args.batch_size)
         validloader = validset.loader(args.batch_size)
     else:
+        # Reproducibility contract under --seed: the loader binds a
+        # STATELESS per-sample RNG — Random(h(seed, epoch, dataset index)) —
+        # around each __getitem__ (augment.host.bind_sample_rng), so the
+        # augmentation stream is independent of prefetch-thread timing and
+        # worker count; two same-seed runs are bit-identical at any -w
+        # (tests/test_cli_e2e.py::test_train_cli_seed_determinism).
         trainloader = DataLoader(trainset, batch_size=args.batch_size,
                                  shuffle=True, workers=workers,
                                  drop_last=True,
-                                 seed=args.seed if args.seed is not None else 0)
+                                 seed=args.seed if args.seed is not None else 0,
+                                 sample_seed=args.seed)
         validloader = DataLoader(validset, batch_size=args.batch_size,
                                  shuffle=False, workers=workers,
                                  drop_last=True)

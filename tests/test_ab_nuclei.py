@@ -57,8 +57,14 @@ def test_ab_nuclei_torch_vs_segtpu(tmp_path):
     seg_args = [*FLAGS, "-dd", data_dir, "--init-torch", init,
                 "--no-tensorboard", "--light-logging",
                 "--experiments-dir", str(seg_dir / "experiments")]
+    # Append to any inherited XLA_FLAGS (dropping a prior device_count flag)
+    # rather than replacing wholesale — hosts that rely on extra flags keep
+    # them; conftest deliberately appends the same way.
+    inherited = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform_device_count")]
     seg_env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+                   XLA_FLAGS=" ".join(
+                       inherited + ["--xla_force_host_platform_device_count=1"]))
     r = subprocess.run(
         [sys.executable, "-c",
          "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "

@@ -221,10 +221,14 @@ def test_train_cli_shapes_device(tmp_path):
 
 
 def test_train_cli_seed_determinism(tmp_path):
-    """--seed S makes two full runs bit-identical (host-aug RNG, loader
-    shuffle, jit PRNG all reseeded at main() start) — the property the
-    multi-seed A/B harness (tools/ab_nuclei.py --seeds) relies on. Uses the
-    nuclei fixture so the host augmentation stream is actually exercised."""
+    """--seed S makes full runs bit-identical AT ANY WORKER COUNT — the
+    host-aug RNG is a stateless per-sample stream keyed on (seed, epoch,
+    dataset index) (augment.host.bind_sample_rng), so the draw order cannot
+    be a prefetch-thread race. Three runs: -w 4 twice (replay at the
+    parallel default) and -w 1 once (worker count does not change the
+    streams). The property the multi-seed A/B harness (tools/ab_nuclei.py
+    --seeds) relies on; the nuclei fixture exercises the real host
+    augmentation pipeline."""
     from segtpu.data.nuclei_fixture import write_fixture
     from segtpu.train_cli import main
 
@@ -232,14 +236,16 @@ def test_train_cli_seed_determinism(tmp_path):
     write_fixture(data_dir, n_images=12, seed=20260819)
 
     histories = []
-    for run in ("a", "b"):
+    for run, workers in (("a", 4), ("b", 4), ("c", 1)):
         args = _common(tmp_path, ["-m", "unet", "--seed", "7",
-                                  "-dd", data_dir])
+                                  "-w", str(workers), "-dd", data_dir])
         args[args.index("-d") + 1] = "dsb2018"
         args[args.index("-s") + 1] = "4"
         args[args.index("--experiments-dir") + 1] = str(
             tmp_path / f"exp_{run}")
         histories.append(main(args))
-    ha, hb = histories
+    ha, hb, hc = histories
     for col in ("loss", "val_loss", "iou", "val_iou"):
         assert ha[col] == hb[col], (col, ha[col], hb[col])
+        assert ha[col] == hc[col], ("workers=4 vs workers=1", col,
+                                    ha[col], hc[col])

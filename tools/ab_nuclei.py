@@ -65,6 +65,24 @@ def _init_path(args, model, run_seed):
     return os.path.join(args.work, f"init_{model}_s{run_seed}.pth")
 
 
+def _leg_complete(csv_path, epochs):
+    """True iff a leg's history CSV exists AND holds all ``epochs`` rows.
+
+    A leg killed mid-run leaves a truncated CSV; skipping on existence alone
+    would silently reuse it and phase_report (n = min over legs) would then
+    truncate EVERY seed's comparison — a partial run masquerading as a
+    complete A/B. Incomplete CSVs are deleted so the leg reruns."""
+    if not os.path.exists(csv_path):
+        return False
+    with open(csv_path) as f:
+        rows = sum(1 for line in f if line.strip()) - 1  # minus header
+    if rows >= epochs:
+        return True
+    print(f"incomplete leg ({rows}/{epochs} epochs), rerunning: {csv_path}")
+    os.remove(csv_path)
+    return False
+
+
 def phase_init(args):
     """Fixture + one torch init dump per (config, run seed).
 
@@ -96,8 +114,9 @@ def phase_segtpu(args):
         for model, loss, opt, lr in CONFIGS:
             cwd = os.path.join(args.work, f"segtpu_s{run_seed}")
             os.makedirs(cwd, exist_ok=True)
-            if os.path.exists(_csv_path(cwd, model, loss, args.patch)):
-                print(f"segtpu s{run_seed} {model}: csv exists, skipping")
+            if _leg_complete(_csv_path(cwd, model, loss, args.patch),
+                             args.epochs):
+                print(f"segtpu s{run_seed} {model}: complete csv, skipping")
                 continue
             cmd = [sys.executable, os.path.join(REPO, "train.py")]
             cmd += _common_flags(args, model, loss, opt, lr)
@@ -113,8 +132,9 @@ def phase_torch(args):
         for model, loss, opt, lr in CONFIGS:
             cwd = os.path.join(args.work, f"torch_s{run_seed}")
             os.makedirs(cwd, exist_ok=True)
-            if os.path.exists(_csv_path(cwd, model, loss, args.patch)):
-                print(f"torch s{run_seed} {model}: csv exists, skipping")
+            if _leg_complete(_csv_path(cwd, model, loss, args.patch),
+                             args.epochs):
+                print(f"torch s{run_seed} {model}: complete csv, skipping")
                 continue
             env = dict(os.environ, AB_SEED=str(run_seed))
             cmd = [sys.executable,
@@ -162,6 +182,9 @@ def phase_report(args):
                                               f"segtpu_{model}_s{s}.csv"))
         n = min(min(len(d) for d in ref.values()),
                 min(len(d) for d in seg.values()))
+        if n < args.epochs:
+            lines.append(f"**WARNING: {model} comparison truncated to "
+                         f"{n}/{args.epochs} epochs — a leg is short.**")
         lines += [f"## {model} ({loss} + {opt}, lr {lr})", "",
                   "| epoch | torch band (min..max) | segtpu band (min..max) "
                   "| band relation |",
