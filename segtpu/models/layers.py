@@ -17,6 +17,11 @@ from flax import linen as nn
 
 from segtpu.ops import abn as abn_ops
 
+# Diagnostic switch for the controlled A/B ladder — see Dropout2d docstring.
+import os as _os_top
+
+DROPOUT_DISABLED = _os_top.environ.get("SEGTPU_DISABLE_DROPOUT", "") == "1"
+
 
 class BatchNormTorch(nn.Module):
     """BatchNorm2d with torch running-stat semantics (NHWC, channel-last).
@@ -271,14 +276,20 @@ class Dropout2d(nn.Module):
 
     ``groups`` > 1 (s2d representation): one mask per TRUE channel, tiled
     over the sub-position-major channel groups so every sub-position of a
-    channel drops together — exactly the normal-space channel mask."""
+    channel drops together — exactly the normal-space channel mask.
+
+    ``SEGTPU_DISABLE_DROPOUT=1`` (read once at import, process-start-only
+    like ``DECONV_BWD``) turns every Dropout2d into identity — a DIAGNOSTIC
+    switch for the controlled A/B ladder (tools/ab_ladder.py), where both
+    frameworks' dropout must be off to make training fully deterministic.
+    Never set in production runs."""
 
     rate: float
     groups: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        if deterministic or self.rate == 0.0:
+        if deterministic or self.rate == 0.0 or DROPOUT_DISABLED:
             return x
         # One make_rng at THIS module's scope for every groups value, so the
         # s2d (groups=4) and normal (groups=1) executions of the same model
