@@ -152,6 +152,12 @@ class InPlaceABN(nn.Module):
     input is never saved for backward) with a Pallas normalize+activate
     kernel on TPU. Also covers InPlaceABNSync (bn.py:106-190): with a
     batch-sharded mesh the statistics are globally reduced by XLA.
+
+    ``stat_groups`` > 1 (s2d execution, cf. BatchNormTorch): the input
+    carries 4 s2d sub-positions per true channel; statistics are combined
+    across the sub-positions (values and grads equal the normal-space ABN
+    exactly) while params/running stats keep their ``[features]`` shapes,
+    so checkpoints/transplants are unaffected.
     """
 
     features: int
@@ -161,12 +167,18 @@ class InPlaceABN(nn.Module):
     slope: float = 0.01
     use_running_average: Optional[bool] = None
     axis_name: Optional[str] = None
+    stat_groups: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        parts = (self.features,) if self.stat_groups > 1 else None
+        if parts is not None:
+            assert x.shape[-1] == 4 * self.features, (x.shape, self.features)
+        else:
+            assert x.shape[-1] == self.features, (x.shape, self.features)
         gamma = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ra_mean = self.variable(
@@ -181,15 +193,16 @@ class InPlaceABN(nn.Module):
                 x, gamma, beta,
                 mean=ra_mean.value, var=ra_var.value, training=False,
                 eps=self.eps, activation=self.activation, slope=self.slope,
+                parts=parts,
             )
 
         z, mean, var = abn_ops.fused_abn(
             x, gamma, beta, training=True,
             eps=self.eps, activation=self.activation, slope=self.slope,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, parts=parts,
         )
         if not self.is_initializing():
-            count = x.size // x.shape[-1]
+            count = x.size // self.features
             unbiased = var * (count / max(count - 1, 1))
             ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
             ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased

@@ -41,6 +41,14 @@ class DenseLayer(nn.Module):
     growth_rate: int
     dtype: Optional[jnp.dtype] = None
     in_parts: Optional[tuple] = None
+    tag_conv_in: bool = False  # checkpoint_name the post-BN-relu conv input
+    # (only under the targeted remat policy — see FCDenseNet.remat_policy)
+
+    def _tag(self, y):
+        if self.tag_conv_in:
+            from jax.ad_checkpoint import checkpoint_name
+            return checkpoint_name(y, "dl_conv_in")
+        return y
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -51,12 +59,12 @@ class DenseLayer(nn.Module):
             features = sum(self.in_parts)
             y = BatchNormTorch(features, stat_parts=self.in_parts, name="norm")(
                 x, use_running_average=not train)
-            y = nn.relu(y)
+            y = self._tag(nn.relu(y))
             y = S2DConv(self.growth_rate, 3, dtype=self.dtype,
                         in_perm=blocked_perm(self.in_parts), name="conv")(y)
             return Dropout2d(0.2, groups=4, name="drop")(y, deterministic=not train)
         y = BatchNormTorch(x.shape[-1], name="norm")(x, use_running_average=not train)
-        y = nn.relu(y)
+        y = self._tag(nn.relu(y))
         y = Conv(self.growth_rate, 3, padding=1, dtype=self.dtype, name="conv")(y)
         return Dropout2d(0.2, name="drop")(y, deterministic=not train)
 
@@ -77,15 +85,36 @@ class DenseBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     in_parts: Optional[tuple] = None
     packed: bool = False
+    remat_policy: Optional[str] = None  # see FCDenseNet.remat_policy
+
+    def _layer_cls(self):
+        """DenseLayer, optionally checkpointed with the targeted policy:
+        per-LAYER ``jax.checkpoint`` whose residual set is ONLY the tagged
+        post-BN-relu conv input (save_only_these_names) — the backward's
+        dgrad reads a saved tensor instead of re-deriving the BN/relu chain
+        inside its fusion, and everything else (the cheap elementwise chain
+        + BN stat sums over the already-resident block input) recomputes."""
+        if self.remat_policy is None:
+            return DenseLayer
+        import functools
+
+        import jax as _jax
+        assert self.remat_policy == "conv_in", self.remat_policy
+        policy = _jax.checkpoint_policies.save_only_these_names("dl_conv_in")
+        return functools.partial(
+            nn.remat(DenseLayer, static_argnums=(2,), policy=policy),
+            tag_conv_in=True,
+        )
 
     @nn.compact
     def __call__(self, x, train: bool):
+        Layer = self._layer_cls()
         if self.in_parts is not None:
             assert not self.upsample
             parts = tuple(self.in_parts)
             for i in range(self.n_layers):
-                out = DenseLayer(self.growth_rate, self.dtype, in_parts=parts,
-                                 name=f"layer{i}")(x, train)
+                out = Layer(self.growth_rate, self.dtype, in_parts=parts,
+                            name=f"layer{i}")(x, train)
                 x = jnp.concatenate([x, out], axis=-1)
                 parts = parts + (self.growth_rate,)
             return x
@@ -102,8 +131,8 @@ class DenseBlock(nn.Module):
             buf = lax.dynamic_update_slice_in_dim(buf, x, 0, ch_axis)
             c = n_in
             for i in range(self.n_layers):
-                out = DenseLayer(self.growth_rate, self.dtype,
-                                 name=f"layer{i}")(
+                out = Layer(self.growth_rate, self.dtype,
+                            name=f"layer{i}")(
                     lax.slice_in_dim(buf, 0, c, axis=ch_axis), train)
                 buf = lax.dynamic_update_slice_in_dim(
                     buf, out.astype(buf.dtype), c, ch_axis)
@@ -113,7 +142,7 @@ class DenseBlock(nn.Module):
             return buf
         new_features = []
         for i in range(self.n_layers):
-            out = DenseLayer(self.growth_rate, self.dtype, name=f"layer{i}")(x, train)
+            out = Layer(self.growth_rate, self.dtype, name=f"layer{i}")(x, train)
             x = jnp.concatenate([x, out], axis=-1)
             new_features.append(out)
         if self.upsample:
@@ -188,14 +217,23 @@ class FCDenseNet(nn.Module):
     remat: bool = False
     s2d: bool = False  # s2d execution of the full-res level (exact math)
     packed: bool = False  # packed dense-block growth (exact math, see DenseBlock)
+    remat_policy: Optional[str] = None  # "conv_in": per-DENSE-LAYER
+    # jax.checkpoint saving ONLY the tagged post-BN-relu conv inputs
+    # (save_only_these_names) — the targeted alternative to blanket
+    # per-block remat, aimed at the re-derivation traffic the byte-floor
+    # analysis blames (BASELINE.md "Tiramisu concat-traffic floor");
+    # measured win-or-negative row lives next to that table
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         Block = nn.remat(DenseBlock, static_argnums=(2,)) if self.remat else DenseBlock
+        import functools
         if self.packed:
-            import functools
             Block = functools.partial(Block, packed=True)
+        if self.remat_policy is not None:
+            assert not self.remat, "remat and remat_policy are exclusive"
+            Block = functools.partial(Block, remat_policy=self.remat_policy)
         use_s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
         skips = []

@@ -54,16 +54,32 @@ class DoubleConv(nn.Module):
 
 class DoubleConvABN(nn.Module):
     """(conv3x3 -> InPlaceABN) x2 (reference unet_abn.py:6-22) — the fused
-    Pallas ABN path with memory-saving backward."""
+    ABN path with the memory-saving from-output backward.
+
+    ``s2d=True`` evaluates the block in space-to-depth representation: the
+    convs expand their kernels (segtpu.ops.s2d) and the ABN combines its
+    statistics across the 4 sub-positions (InPlaceABN stat_groups) — same
+    math, dense 128-lane channels, params identical."""
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
+    in_parts: Optional[tuple] = None  # for conv0 when input is a blocked concat
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from segtpu.models.layers import S2DConv
+
         for i in range(2):
-            x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
-            x = InPlaceABN(self.features, name=f"abn{i}")(x, use_running_average=not train)
+            if self.s2d:
+                x = S2DConv(self.features, 3, dtype=self.dtype,
+                            in_parts=self.in_parts if i == 0 else None,
+                            name=f"conv{i}")(x)
+            else:
+                x = Conv(self.features, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = InPlaceABN(
+                self.features, stat_groups=4 if self.s2d else 1, name=f"abn{i}"
+            )(x, use_running_average=not train)
         return x
 
 
@@ -100,8 +116,9 @@ class _Up(nn.Module):
             # expanded kernel (s2d.expand_kernel_parts) — no channel tile.
             x = jnp.concatenate([x2, x1], axis=-1)
             parts = (("s2d", x2.shape[-1] // 4), ("fold", x1.shape[-1]))
-            return DoubleConv(self.features, dtype=self.dtype, s2d=True,
-                              in_parts=parts, name="conv")(x, train)
+            block = DoubleConvABN if self.abn else DoubleConv
+            return block(self.features, dtype=self.dtype, s2d=True,
+                         in_parts=parts, name="conv")(x, train)
         if self.upsample:
             x1 = upsample_nearest(x1)
         else:
@@ -136,15 +153,19 @@ class UNet(nn.Module):
     def __call__(self, x, train: bool = False):
         f = self.n_filters
         block = DoubleConvABN if self.abn else DoubleConv
-        use_s2d = (self.s2d and not self.abn and self.upsample
+        # s2d covers the ABN variant too: the fused from-output ABN backward
+        # composes with grouped (stat_groups=4) s2d statistics — the guard
+        # that excluded unet_abn from the zoo's biggest lever is lifted
+        # (VERDICT r4 item 2); measurement in BASELINE.md.
+        use_s2d = (self.s2d and self.upsample
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
-        deep = (use_s2d and self.s2d_deep
+        deep = (use_s2d and not self.abn and self.s2d_deep
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         if use_s2d:
             from segtpu.models.layers import S2DConv
             from segtpu.ops.s2d import d2s, s2d, s2d_max_pool_exit
 
-            x1s = DoubleConv(f, dtype=self.dtype, s2d=True, name="inc")(s2d(x), train)
+            x1s = block(f, dtype=self.dtype, s2d=True, name="inc")(s2d(x), train)
             pooled = s2d_max_pool_exit(x1s)
         else:
             x1 = block(f, dtype=self.dtype, name="inc")(x, train)
@@ -168,7 +189,8 @@ class UNet(nn.Module):
         else:
             y = _Up(f, abn=self.abn, upsample=self.upsample, dtype=self.dtype, name="up3")(y, x2, train)
         if use_s2d:
-            y = _Up(f, dtype=self.dtype, s2d=True, name="up4")(y, x1s, train)
+            y = _Up(f, abn=self.abn, dtype=self.dtype, s2d=True,
+                    name="up4")(y, x1s, train)
             y = Dropout2d(self.final_dropout, groups=4, name="finaldrop")(
                 y, deterministic=not train)
             y = S2DConv(self.n_classes, 1, dtype=self.dtype, name="outc")(y)
@@ -181,11 +203,15 @@ class UNet(nn.Module):
 
 
 class UNetABN(nn.Module):
-    """UNet with fused InPlaceABN blocks (reference lib/models/unet_abn.py)."""
+    """UNet with fused InPlaceABN blocks (reference lib/models/unet_abn.py).
+
+    ``s2d``: space-to-depth execution of the full-res level — the grouped-
+    stats ABN variant (InPlaceABN stat_groups=4), exact math."""
 
     n_channels: int = 3
     n_classes: int = 1
     n_filters: int = 32
+    s2d: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -195,6 +221,7 @@ class UNetABN(nn.Module):
             n_classes=self.n_classes,
             n_filters=self.n_filters,
             abn=True,
+            s2d=self.s2d,
             dtype=self.dtype,
             name="unet",
         )(x, train)

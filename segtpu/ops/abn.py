@@ -328,12 +328,20 @@ def bn_train_stats(x, scale, bias, *, eps=1e-5, parts=None, axis_name=None):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
-def _fused_abn_train(x, gamma, beta, mean, var, eps, activation, slope, axis_name):
+def _fused_abn_train(x, gamma, beta, mean, var, eps, activation, slope,
+                     axis_name, parts):
     """Normalize with given batch stats, affine, activate. Differentiable in
     (x, gamma, beta); stats are treated as *functions of x* in the VJP, i.e.
-    full training-mode BN backward (matches inplace-abn)."""
+    full training-mode BN backward (matches inplace-abn).
+
+    ``parts`` (s2d grouped statistics): x's channels are 4 s2d sub-positions
+    per true channel; gamma/beta/mean/var arrive PRE-EXPANDED to [4F]
+    (``_expand_parts``) and the backward's edz/eydz group means combine the
+    sub-positions so dx equals the normal-space training backward exactly.
+    The [4F] dgamma/dbeta cotangents flow back through the caller's
+    differentiable expand (tile backward = group sum)."""
     return _abn_apply(x, gamma, beta, mean, var, eps, activation, slope)
 
 
@@ -353,14 +361,15 @@ def _abn_apply(x, gamma, beta, mean, var, eps, activation, slope):
     return _act_forward(y, activation, slope)
 
 
-def _fused_abn_train_fwd(x, gamma, beta, mean, var, eps, activation, slope, axis_name):
+def _fused_abn_train_fwd(x, gamma, beta, mean, var, eps, activation, slope,
+                         axis_name, parts):
     z = _abn_apply(x, gamma, beta, mean, var, eps, activation, slope)
     # Memory-saving residuals: the input x is NOT saved.
     count = x.size // x.shape[-1]
     return z, (z, gamma, beta, var, count)
 
 
-def _fused_abn_train_bwd(eps, activation, slope, axis_name, res, g):
+def _fused_abn_train_bwd(eps, activation, slope, axis_name, parts, res, g):
     z, gamma, beta, var, count = res
     c = z.shape[-1]
     rstd = lax.rsqrt(var + eps)
@@ -386,11 +395,19 @@ def _fused_abn_train_bwd(eps, activation, slope, axis_name, res, g):
 
     if axis_name is not None:
         n_dev = lax.psum(jnp.ones((), jnp.float32), axis_name)
-        edz_mean = lax.psum(edz, axis_name) / (count * n_dev)
-        eydz_mean = lax.psum(eydz, axis_name) / (count * n_dev)
+        edz_g = lax.psum(edz, axis_name)
+        eydz_g = lax.psum(eydz, axis_name)
+        n_sub = count * n_dev
     else:
-        edz_mean = edz / count
-        eydz_mean = eydz / count
+        edz_g, eydz_g, n_sub = edz, eydz, count
+    if parts is not None:
+        # grouped s2d statistics: the normalization group of a true channel
+        # spans its 4 sub-positions, so the backward means combine them
+        edz_mean = _expand_parts(_sum_parts(edz_g, parts) / (n_sub * 4), parts)
+        eydz_mean = _expand_parts(_sum_parts(eydz_g, parts) / (n_sub * 4), parts)
+    else:
+        edz_mean = edz_g / n_sub
+        eydz_mean = eydz_g / n_sub
 
     dx = (
         (dy - edz_mean.astype(z.dtype) - xhat * eydz_mean.astype(z.dtype))
@@ -418,6 +435,7 @@ def fused_abn(
     activation: str = ACT_LEAKY_RELU,
     slope: float = 0.01,
     axis_name: Optional[str] = None,
+    parts: Optional[tuple] = None,
 ):
     """Fused BN + activation.
 
@@ -425,13 +443,39 @@ def fused_abn(
     if given) and returns ``(z, mean, var)`` so the caller can update running
     stats with the unbiased correction (reference functions.py:85-88).
     Inference mode takes running ``mean``/``var`` and returns ``z`` only.
-    """
+
+    ``parts`` (s2d grouped statistics, cf. ``bn_train``): x is an s2d tensor
+    whose channels carry 4 sub-positions per true channel (sub-position-
+    major, part p spanning ``4 * parts[p]`` channels); gamma/beta/running
+    stats keep their dense ``[sum(parts)]`` shapes (checkpoint compatible),
+    statistics combine across the sub-positions, and the memory-saving
+    from-output backward applies group-combined edz/eydz means — values AND
+    gradients equal the normal-space ABN exactly. The dense->s2d expansion
+    of gamma/beta happens outside the custom VJP (``_expand_parts`` — the
+    tile's autodiff backward group-sums dgamma/dbeta to dense)."""
+    if parts is not None:
+        gamma_e = _expand_parts(gamma, parts)
+        beta_e = _expand_parts(beta, parts)
+    else:
+        gamma_e, beta_e = gamma, beta
     if training:
-        bmean, bvar = batch_mean_var(x, axis_name)
-        bmean = lax.stop_gradient(bmean)
-        bvar = lax.stop_gradient(bvar)
-        z = _fused_abn_train(x, gamma, beta, bmean, bvar, eps, activation, slope, axis_name)
-        return z, bmean, bvar
+        sub_mean, sub_var = batch_mean_var(x, axis_name)
+        if parts is not None:
+            bmean, bvar = _combine_parts(
+                sub_mean, sub_var + jnp.square(sub_mean), parts)
+            bmean_e = _expand_parts(bmean, parts)
+            bvar_e = _expand_parts(bvar, parts)
+        else:
+            bmean = bmean_e = sub_mean
+            bvar = bvar_e = sub_var
+        bmean_e = lax.stop_gradient(bmean_e)
+        bvar_e = lax.stop_gradient(bvar_e)
+        z = _fused_abn_train(x, gamma_e, beta_e, bmean_e, bvar_e, eps,
+                             activation, slope, axis_name, parts)
+        return z, lax.stop_gradient(bmean), lax.stop_gradient(bvar)
     assert mean is not None and var is not None
-    z = _abn_apply(x, gamma, beta, mean, var, eps, activation, slope)
+    if parts is not None:
+        mean = _expand_parts(mean, parts)
+        var = _expand_parts(var, parts)
+    z = _abn_apply(x, gamma_e, beta_e, mean, var, eps, activation, slope)
     return z

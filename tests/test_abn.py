@@ -318,3 +318,57 @@ def test_bn_train_shard_map_matches_global():
     for a, b_ in zip(g_g, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_abn_parts_matches_normal_space():
+    """fused_abn with s2d grouped statistics (``parts``) == the normal-space
+    fused ABN: values, batch stats, dx, dgamma, dbeta (unet_abn+s2d — the
+    composition of the from-output backward with grouped s2d stats)."""
+    from segtpu.ops.s2d import d2s, s2d
+
+    rng = np.random.RandomState(11)
+    f = 5
+    x = jnp.asarray(rng.randn(2, 8, 8, f).astype(np.float32))
+    gamma = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+
+    def loss_normal(x, gamma, beta):
+        z, m, v = abn_ops.fused_abn(x, gamma, beta, training=True)
+        return jnp.sum(z * w), (z, m, v)
+
+    def loss_parts(x, gamma, beta):
+        zs, m, v = abn_ops.fused_abn(s2d(x), gamma, beta, training=True,
+                                     parts=(f,))
+        z = d2s(zs)
+        return jnp.sum(z * w), (z, m, v)
+
+    (ln, (zn, mn, vn)) = loss_normal(x, gamma, beta)
+    (lp, (zp, mp, vp)) = loss_parts(x, gamma, beta)
+    np.testing.assert_allclose(np.asarray(zp), np.asarray(zn), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(mn), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vn), atol=1e-5)
+    np.testing.assert_allclose(float(lp), float(ln), rtol=1e-5)
+
+    gn = jax.grad(lambda *a: loss_normal(*a)[0], (0, 1, 2))(x, gamma, beta)
+    gp = jax.grad(lambda *a: loss_parts(*a)[0], (0, 1, 2))(x, gamma, beta)
+    for a, b in zip(gn, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_abn_parts_inference_matches_normal(xgb):
+    """Eval mode with running stats: parts path == normal path."""
+    from segtpu.ops.s2d import d2s, s2d
+
+    x, gamma, beta = xgb
+    f = x.shape[-1]
+    rng = np.random.RandomState(3)
+    mean = jnp.asarray(rng.randn(f).astype(np.float32) * 0.2)
+    var = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    zn = abn_ops.fused_abn(x, gamma, beta, mean=mean, var=var,
+                           training=False)
+    zp = abn_ops.fused_abn(s2d(x), gamma, beta, mean=mean, var=var,
+                           training=False, parts=(f,))
+    np.testing.assert_allclose(np.asarray(d2s(zp)), np.asarray(zn),
+                               atol=1e-6)

@@ -194,3 +194,50 @@ class TestTiramisuPacked:
         yp = pblk.apply(v, x, train=False)
         assert yb.shape == (2, 8, 8, 24)
         np.testing.assert_allclose(np.asarray(yp), np.asarray(yb), atol=1e-5)
+
+
+class TestTiramisuRematPolicy:
+    """FCDenseNet remat_policy='conv_in' == baseline: the targeted
+    per-dense-layer jax.checkpoint (save_only_these_names on the tagged
+    post-BN-relu conv input) is exact math — values AND grads — with an
+    identical param tree and identical dropout RNG consumption."""
+
+    def _models(self):
+        import dataclasses
+
+        from segtpu.models.tiramisu import FCDenseNet
+
+        base = FCDenseNet(down_blocks=(2, 2), up_blocks=(2, 2),
+                          bottleneck_layers=2, growth_rate=8,
+                          out_chans_first_conv=12, n_classes=1)
+        return base, dataclasses.replace(base, remat_policy="conv_in")
+
+    def test_forward_and_grad_equivalence(self):
+        base, pol = self._models()
+        rng = np.random.RandomState(13)
+        x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+        vb = base.init(jax.random.PRNGKey(0), x, train=False)
+        vp = pol.init(jax.random.PRNGKey(0), x, train=False)
+        pb = jax.tree_util.tree_leaves_with_path(vb)
+        pp = jax.tree_util.tree_leaves_with_path(vp)
+        assert [p for p, _ in pb] == [p for p, _ in pp]
+
+        yb = base.apply(vb, x, train=False)
+        yp = pol.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yb), atol=1e-5)
+
+        def loss(variables, model):
+            out, _ = model.apply(
+                variables, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out ** 2)
+
+        gb = jax.grad(loss)(vb, base)
+        gp = jax.grad(loss)(vb, pol)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gb),
+            jax.tree_util.tree_leaves_with_path(gp),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=str(path))

@@ -119,13 +119,93 @@ class TestUNetS2D:
         ys = s2dm.apply(vb, x, train=False)
         np.testing.assert_allclose(np.asarray(ys), np.asarray(yb), atol=2e-4)
 
-    def test_s2d_ignored_for_abn(self):
-        from segtpu.models.unet import UNet
+class TestUNetABNS2D:
+    """unet_abn s2d=True == s2d=False (grouped-stats fused ABN in s2d space;
+    the guard that excluded the ABN variant from s2d is lifted — VERDICT r4
+    item 2)."""
 
-        m = UNet(abn=True, s2d=True)  # falls back to the normal path
-        x = jnp.zeros((1, 32, 32, 3))
-        v = m.init(jax.random.PRNGKey(0), x, train=False)
-        assert m.apply(v, x, train=False).shape == (1, 32, 32, 1)
+    def _models(self):
+        import dataclasses
+
+        from segtpu.models import get_model
+
+        base = get_model("unet_abn")
+        return base, dataclasses.replace(base, s2d=True)
+
+    def test_param_tree_and_eval_equivalence(self):
+        base, s2dm = self._models()
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        vb = base.init(jax.random.PRNGKey(0), x, train=False)
+        vs = s2dm.init(jax.random.PRNGKey(0), x, train=False)
+        pb = jax.tree_util.tree_leaves_with_path(vb)
+        ps = jax.tree_util.tree_leaves_with_path(vs)
+        assert [p for p, _ in pb] == [p for p, _ in ps]
+
+        yb = base.apply(vb, x, train=False)
+        ys = s2dm.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yb), atol=2e-4)
+
+    def test_train_values_and_stats_equivalence(self):
+        """Train-mode forward + updated running stats match between layouts
+        (dropout keys differ per layout only in masks at the FINAL dropout —
+        groups=4 draws the identical channel mask, see Dropout2d)."""
+        base, s2dm = self._models()
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        variables = base.init(jax.random.PRNGKey(0), x, train=False)
+        yb, ub = base.apply(variables, x, train=True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        ys, us = s2dm.apply(variables, x, train=True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yb), atol=3e-4)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ub),
+            jax.tree_util.tree_leaves_with_path(us),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, err_msg=str(path))
+
+    def test_abn_block_grad_equivalence(self):
+        """DoubleConvABN s2d vs normal: loss and every param grad match at
+        the block level (full-model fp32 grad comparison is unfalsifiable —
+        see TestZFUnetS2D.test_block_grad_equivalence)."""
+        from segtpu.models.layers import max_pool
+        from segtpu.models.unet import DoubleConvABN
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+
+        nb = DoubleConvABN(8, s2d=False)
+        sb = DoubleConvABN(8, s2d=True)
+        variables = nb.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss_n(params):
+            out, _ = nb.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(max_pool(out) * w)
+
+        def loss_s(params):
+            out, _ = sb.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                s2d(x), train=True, mutable=["batch_stats"])
+            return jnp.sum(s2d_max_pool_exit(out) * w)
+
+        np.testing.assert_allclose(
+            float(loss_n(variables["params"])),
+            float(loss_s(variables["params"])), rtol=1e-5)
+        gn = jax.grad(loss_n)(variables["params"])
+        gs = jax.grad(loss_s)(variables["params"])
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gn),
+            jax.tree_util.tree_leaves_with_path(gs),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, err_msg=str(path))
 
 
 class TestTiramisuS2D:
