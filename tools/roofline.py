@@ -31,7 +31,8 @@ V5E_PEAK_HBM_GBS = 819.0
 
 def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
                loss_name: str = "bce", optimizer: str = "sgd",
-               remat=None, s2d: bool = False, packed: bool = False):
+               remat=None, s2d: bool = False, packed: bool = False,
+               remat_policy=None):
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +60,10 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
             raise SystemExit(f"model {model_name!r} has no packed mode")
         model = dataclasses.replace(model, packed=True)
         applied["packed"] = True
+    if remat_policy is not None:
+        if not hasattr(model, "remat_policy"):
+            raise SystemExit(f"model {model_name!r} has no remat_policy")
+        model = dataclasses.replace(model, remat_policy=remat_policy)
     tx = get_optimizer(optimizer, 1e-3)
     state = create_train_state(model, tx, (batch, patch, patch, 3))
     x, y = DeviceShapes(patch).batch(jax.random.PRNGKey(0), batch)
@@ -69,11 +74,12 @@ def build_step(model_name: str, patch: int, batch: int, bf16: bool = True,
 def analyze(model_name: str, patch: int, batch: int, steps: int = 20,
             bf16: bool = True, loss_name: str = "bce", optimizer: str = "sgd",
             remat=None, s2d: bool = False, packed: bool = False,
-            profile_dir: str | None = None) -> dict:
+            profile_dir: str | None = None, remat_policy=None) -> dict:
     import jax
 
     step, state, batch_xy, applied = build_step(
-        model_name, patch, batch, bf16, loss_name, optimizer, remat, s2d, packed)
+        model_name, patch, batch, bf16, loss_name, optimizer, remat, s2d,
+        packed, remat_policy)
     rng = jax.random.PRNGKey(0)
 
     lowered = step.lower(state, batch_xy, 1e-3, rng)
@@ -163,6 +169,9 @@ def main():
                    help="force remat OFF for models that default it on")
     p.add_argument("--s2d", action="store_true")
     p.add_argument("--packed", action="store_true")
+    p.add_argument("--remat-policy", default=None,
+                   help="targeted per-dense-layer checkpoint policy "
+                        "(tiramisu: 'conv_in')")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--sweep", action="store_true")
     args = p.parse_args()
@@ -184,7 +193,8 @@ def main():
     r = analyze(args.model, args.patch, args.batch, steps=args.steps,
                 bf16=not args.fp32, loss_name=args.loss,
                 optimizer=args.optimizer, remat=remat, s2d=args.s2d,
-                packed=args.packed, profile_dir=args.profile_dir)
+                packed=args.packed, profile_dir=args.profile_dir,
+                remat_policy=args.remat_policy)
     print(json.dumps(r))
 
 
