@@ -55,7 +55,15 @@ def create_train_state(model, tx, input_shape, rng=None, has_dropout=True):
 
 def _grad_absmax(grads) -> jnp.ndarray:
     """Global gradient abs-max — the reference's explosion tripwire
-    (torch_train.py:199-205), as one fused reduction on device."""
+    (torch_train.py:199-205), as one fused reduction on device.
+
+    NOTE (measured, round 5): on very fast models the ~100 per-leaf reduce
+    kernels are visible fixed overhead (gcn34 @224²: 23% of a 16.8 ms step,
+    ~31 µs per tiny abs_reduce). Reformulating as ONE reduce over the
+    raveled concat (also via ravel_pytree) lowers to the IDENTICAL program —
+    XLA canonicalizes reduce-of-concatenate back into per-operand partial
+    reduces — so the per-leaf launch cost is the floor for this semantic
+    (documented-negative; trace pair /tmp/prof_gcn34{,b} round 5)."""
     leaves = jax.tree_util.tree_leaves(grads)
     if not leaves:
         return jnp.zeros(())

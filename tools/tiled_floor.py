@@ -99,8 +99,10 @@ def main(argv=None):
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    sweep_flops = float(cost.get("flops", 0.0))
-    sweep_bytes = float(cost.get("bytes accessed", 0.0))
+    # XLA cost analysis counts a while/map loop BODY once — the sweep is
+    # n_chunks serial trips of that body, so scale to the full image.
+    sweep_flops = float(cost.get("flops", 0.0)) * n_chunks
+    sweep_bytes = float(cost.get("bytes accessed", 0.0)) * n_chunks
 
     # merge + threshold cost (device scatter-add of weighted tiles)
     preds = compiled(padded, ys, xs)
@@ -176,7 +178,12 @@ def main(argv=None):
         f"{up_bytes/1e6:.0f}+{down_bytes/1e6:.0f} MB at the measured tunnel "
         f"rate = {t_transfer:.2f} s. depth=2 overlap -> floor = "
         f"max(device, transfer) = {floor:.2f} s/image "
-        f"({floor_measured_dev:.2f} with the measured sweep)."
+        f"({floor_measured_dev:.2f} with the measured sweep).\n"
+        f"Caveat: the axon tunnel content-addresses transfers — REPEATED "
+        f"uploads/fetches of identical bytes are cache hits (a repeat-"
+        f"measured min can show ~0 s), which is how a multi-image bench "
+        f"can land below the first-pass transfer term; on production PCIe "
+        f"the transfer term is ~10 ms and the device sweep is the floor."
     )
 
 
