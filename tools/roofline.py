@@ -150,6 +150,7 @@ SWEEP = [
     ("tiramisu67", 224, 16, False),
     ("tiramisu103", 224, 8, False),
     ("unet_abn", 224, 32, False),
+    ("unet_abn", 224, 32, True),
     ("zf_unet", 512, 16, False),
     ("zf_unet", 512, 16, True),
 ]
