@@ -82,3 +82,26 @@ def test_ab_nuclei_torch_vs_segtpu(tmp_path):
                      ("loss", 0.06), ("iou", 0.10)]:
         d = np.max(np.abs(ref[col].to_numpy() - seg[col].to_numpy()))
         assert d < tol, f"{col}: max |delta| {d:.4f} >= {tol} \n{ref}\n{seg}"
+
+
+def test_leg_complete_rejects_truncated_csv(tmp_path):
+    """Resume-skip guard: a leg killed mid-run leaves a short history CSV;
+    _leg_complete must reject (and delete) it so the leg reruns instead of
+    a partial run masquerading as a complete A/B (advisor round-4 item)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ab_nuclei", os.path.join(REPO, "tools", "ab_nuclei.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    csv = tmp_path / "history.csv"
+    csv.write_text("epoch,loss\n0,0.5\n1,0.4\n")  # 2 of 10 epochs
+    assert not mod._leg_complete(str(csv), epochs=10)
+    assert not csv.exists()  # truncated file deleted -> leg reruns
+
+    csv.write_text("epoch,loss\n" + "\n".join(f"{i},0.1" for i in range(10)))
+    assert mod._leg_complete(str(csv), epochs=10)
+    assert csv.exists()
+
+    assert not mod._leg_complete(str(tmp_path / "missing.csv"), epochs=10)
